@@ -1,0 +1,27 @@
+"""Test environment: force an 8-device virtual CPU mesh before JAX loads.
+
+This is the standard TPU-less way to exercise pjit/sharding code paths
+(SURVEY.md §4): all multi-device tests run against 8 virtual CPU devices.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng_seed():
+    return 0

@@ -1,0 +1,142 @@
+"""Tests for the Hydra-compatible config composition engine.
+
+The composition semantics under test mirror what the reference's Hydra usage
+relies on (`/root/reference/configs/dino.yaml:1-14`,
+`/root/reference/train.py:103`).
+"""
+
+from pathlib import Path
+
+import pytest
+
+from vit_ssl_tpu.config import (
+    Config,
+    ConfigValidationError,
+    compose,
+    is_list,
+    to_container,
+    validate_train_config,
+)
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+def test_compose_default_root_is_dino():
+    cfg = compose(CONFIG_DIR, "config")
+    assert cfg.training.type == "dino"
+    assert cfg.model.patch_size == 8  # dino override over base's 16
+    assert cfg.model.embed_dim == 384  # from base
+    assert cfg.model.output_dim == 16384  # dino override over base's 65536
+
+
+def test_compose_supervised_root():
+    cfg = compose(CONFIG_DIR, "supervised")
+    assert cfg.training.type == "supervised"
+    assert cfg.model.num_classes == 10
+    assert cfg.training.criterion.name == "CrossEntropyLoss"
+    assert cfg.data.img_size == 192
+    assert cfg.metrics == ["Accuracy", "F1Score", "Recall", "Precision"]
+
+
+def test_interpolation_resolution():
+    cfg = compose(CONFIG_DIR, "dino")
+    # ${data.img_size} inside globals transforms resolves to 96
+    globals_pipeline = cfg.transforms["globals"]
+    rrc = globals_pipeline[0]
+    assert rrc["name"] == "RandomResizedCrop"
+    assert rrc["params"]["size"] == 96
+    locals_pipeline = cfg.transforms["locals"]
+    assert locals_pipeline[0]["params"]["size"] == 48
+    # ${training.warmup_initial_learning_rate} with scientific notation
+    assert cfg.training.optimizer.params.lr == pytest.approx(1e-6)
+
+
+def test_scientific_notation_floats():
+    cfg = compose(CONFIG_DIR, "supervised")
+    assert isinstance(cfg.training.warmup_initial_learning_rate, float)
+    assert cfg.training.warmup_initial_learning_rate == pytest.approx(1e-6)
+    assert cfg.training.lr_scheduler.main.params.eta_min == pytest.approx(1e-6)
+
+
+def test_dotlist_overrides():
+    cfg = compose(
+        CONFIG_DIR,
+        "supervised",
+        overrides=[
+            "training.num_epochs=3",
+            "training.batch_size=4",
+            "data.img_size=32",
+            "model.embed_dim=64",
+        ],
+    )
+    assert cfg.training.num_epochs == 3
+    assert cfg.data.img_size == 32
+    # interpolations resolve against overridden values
+    assert cfg.transforms["train"][0]["params"]["size"] == 32
+
+
+def test_override_creates_new_keys():
+    cfg = compose(CONFIG_DIR, "supervised", overrides=["+training.extra_flag=true"])
+    assert cfg.training.extra_flag is True
+
+
+def test_attribute_and_item_access_equivalent():
+    cfg = compose(CONFIG_DIR, "dino")
+    assert cfg["training"]["teacher_temp"] == cfg.training.teacher_temp
+    assert cfg.training.get("teacher_temp_final", None) == pytest.approx(0.07)
+    assert cfg.get("eval", {}).get("interval", 0) == 10
+
+
+def test_now_interpolation_in_hydra_run_dir():
+    cfg = compose(CONFIG_DIR, "dino")
+    run_dir = cfg.hydra.run.dir
+    assert run_dir.startswith("./experiments/dino/")
+    assert "${" not in run_dir
+
+
+def test_is_list_helper():
+    cfg = compose(CONFIG_DIR, "dino")
+    assert is_list(cfg.eval.mode)
+    assert not is_list("eval_knn")
+
+
+def test_validate_train_config_ok():
+    for name in ["supervised", "simmim", "dino"]:
+        validate_train_config(compose(CONFIG_DIR, name))
+
+
+def test_validate_rejects_bad_mode():
+    cfg = compose(CONFIG_DIR, "supervised", overrides=["training.type=bogus"])
+    with pytest.raises(ConfigValidationError):
+        validate_train_config(cfg)
+
+
+def test_validate_rejects_bad_metric():
+    cfg = compose(CONFIG_DIR, "supervised")
+    cfg["metrics"] = ["Accuracy", "NotAMetric"]
+    with pytest.raises(ConfigValidationError):
+        validate_train_config(cfg)
+
+
+def test_eval_config_composition():
+    cfg = compose(CONFIG_DIR, "eval_config")
+    assert is_list(cfg.eval.mode)
+    assert cfg.eval.num_classes == 10
+    assert cfg.eval.transforms["val"][0]["name"] == "Resize"
+
+
+def test_to_container_roundtrip():
+    cfg = compose(CONFIG_DIR, "supervised")
+    d = to_container(cfg)
+    assert isinstance(d, dict)
+    assert d["training"]["type"] == "supervised"
+    cfg2 = Config(d)
+    assert cfg2 == cfg
+
+
+def test_tilde_override_removes_key():
+    from vit_ssl_tpu.config import apply_overrides
+
+    cfg = compose(CONFIG_DIR, "supervised")
+    apply_overrides(cfg, ["~eval.save_confusion_matrix"])
+    assert "save_confusion_matrix" not in cfg.eval

@@ -1,0 +1,168 @@
+"""Typed config schemas with validation.
+
+Replaces the reference's Hydra ConfigStore dataclasses
+(`/root/reference/utils/schemas/training_schemas/main_config.py:35-45`,
+`/root/reference/utils/schemas/eval_schemas/main_config.py:18-24`). Instead
+of registering nodes with Hydra, ``validate_train_config`` /
+``validate_eval_config`` check a composed :class:`~.compose.Config` after the
+fact: presence and types of required fields, enum membership for metric
+names, and mode strings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+from .compose import Config
+
+# `/root/reference/utils/schemas/training_schemas/main_config.py:12-23`
+METRIC_NAMES = frozenset(
+    {
+        "CenterNorm",
+        "TeacherMean",
+        "TeacherSTD",
+        "TeacherVar",
+        "StudentMean",
+        "StudentSTD",
+        "StudentVar",
+        "CosineSim",
+        "PSNR",
+        "SSIM",
+        "Accuracy",
+        "F1Score",
+        "Recall",
+        "Precision",
+    }
+)
+
+TRAIN_MODES = frozenset({"supervised", "finetune", "simmim", "dino"})
+EVAL_MODES = frozenset({"eval_knn", "eval_linear", "eval_umap", "eval_dino"})
+
+
+@dataclass
+class ModelSchema:
+    patch_size: int = 16
+    in_channels: int = 3
+    embed_dim: int = 384
+    num_blocks: int = 6
+    num_heads: int = 6
+    mlp_dim: int = 1536
+    dropout: float = 0.1
+    num_classes: Optional[int] = None
+    output_dim: Optional[int] = None
+    center_momentum: Optional[float] = None
+    mask_ratio: Optional[float] = None
+
+
+@dataclass
+class DataSchema:
+    dataset_name: str = ""
+    data_csv: str = ""
+    data_dir: str = ""
+    val_split: float = 0.2
+    num_workers: int = 4
+    img_size: int = 192
+    local_img_size: Optional[int] = None
+
+
+@dataclass
+class TrainingSchema:
+    type: str = ""
+    random_seed: int = 42
+    batch_size: int = 128
+    num_epochs: int = 130
+    warmup_epochs: int = 10
+    warmup_initial_learning_rate: float = 1e-6
+    warmup_final_learning_rate: float = 1e-4
+    lr_final: float = 1e-6
+    weight_decay: float = 0.001
+    resume_from_checkpoint: Optional[str] = None
+    pretrained_path: Optional[str] = None
+    freeze_backbone: bool = False
+    # DINO fields (`/root/reference/utils/schemas/training_schemas/training.py:24-46`)
+    student_temp: Optional[float] = None
+    teacher_temp: Optional[float] = None
+    teacher_temp_final: Optional[float] = None
+    teacher_temp_scheduler: str = "cosine"
+    teacher_momentum_start: Optional[float] = None
+    teacher_momentum_final: Optional[float] = None
+    num_all_views: Optional[int] = None
+    num_global_views: Optional[int] = None
+
+
+@dataclass
+class EvalSchema:
+    interval: int = 0
+    mode: Any = None
+    dataset_name: str = ""
+    data_csv: str = ""
+    data_dir: str = ""
+    num_classes: int = 10
+    save_confusion_matrix: bool = False
+    experiment_path: Optional[str] = None
+    batch_size: Optional[int] = None
+
+
+class ConfigValidationError(ValueError):
+    pass
+
+
+def _require(cfg: Config, section: str, keys: List[str]) -> None:
+    node = cfg.get(section)
+    if node is None:
+        raise ConfigValidationError(f"Missing config section '{section}'")
+    for key in keys:
+        if node.get(key) is None:
+            raise ConfigValidationError(f"Missing '{section}.{key}' in config")
+
+
+def validate_train_config(cfg: Config) -> Config:
+    """Validate a composed training config (TrainConfig equivalent)."""
+    _require(cfg, "training", ["type", "batch_size", "num_epochs", "warmup_epochs"])
+    _require(cfg, "model", ["patch_size", "in_channels", "embed_dim", "num_blocks", "num_heads", "mlp_dim"])
+    _require(cfg, "data", ["img_size"])
+
+    mode = str(cfg.training.type).lower()
+    if mode not in TRAIN_MODES:
+        raise ConfigValidationError(
+            f"training.type={mode!r} is not one of {sorted(TRAIN_MODES)}"
+        )
+
+    for name in cfg.get("metrics", []) or []:
+        if name not in METRIC_NAMES:
+            raise ConfigValidationError(f"Unknown metric '{name}'")
+
+    if mode == "dino":
+        _require(
+            cfg,
+            "training",
+            [
+                "student_temp",
+                "teacher_temp",
+                "teacher_momentum_start",
+                "teacher_momentum_final",
+                "num_all_views",
+                "num_global_views",
+            ],
+        )
+        _require(cfg, "model", ["output_dim", "center_momentum"])
+    if mode == "simmim":
+        _require(cfg, "model", ["mask_ratio"])
+    if mode == "finetune":
+        _require(cfg, "training", ["pretrained_path"])
+    if mode in ("supervised", "finetune"):
+        _require(cfg, "model", ["num_classes"])
+    return cfg
+
+
+def validate_eval_config(cfg: Config) -> Config:
+    """Validate a composed evaluation config (EvaluationConfig equivalent)."""
+    _require(cfg, "eval", ["mode"])
+    modes = cfg.eval.mode
+    if not isinstance(modes, (list, tuple)):
+        modes = [modes]
+    for m in modes:
+        if m not in EVAL_MODES:
+            raise ConfigValidationError(f"eval.mode contains unknown mode {m!r}")
+    return cfg

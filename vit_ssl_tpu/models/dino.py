@@ -1,0 +1,301 @@
+"""DINO self-distillation ViT.
+
+Parity with `/root/reference/vit_core/ssl/dino/` (model.py, head.py,
+loss.py, dino_utils.py), redesigned functionally for XLA (SURVEY.md §7
+hard-part #2): the reference holds teacher weights and the center buffer as
+mutable module state updated under ``no_grad``; here the *student* is the
+only flax module, and the teacher parameters + center live in the explicit
+train state. EMA teacher update, center update, and the loss are pure
+functions composed inside one jitted train step — no step-boundary host
+syncs.
+
+Distributed note: under a sharded jit, ``jnp.mean`` over the global batch in
+:func:`update_center` is a cross-device mean (XLA inserts the collective),
+which restores the paper's all-reduce that the reference dropped
+(`model.py:91-99`, SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import DynamicPatchEmbed, EncoderBlock
+from ..ops.initializers import InitScheme
+
+
+class WeightNormDense(nn.Module):
+    """Dense layer with weight-norm parametrisation, matching torch's
+    ``weight_norm(nn.Linear(...), name="weight")`` with default dim=0:
+    each output unit's weight row is ``g · v / ‖v‖``.
+
+    Parameters are stored as ``v`` (direction, (in, out)) and ``g``
+    (magnitude, (out,)) plus ``bias``, mirroring torch's
+    ``parametrizations.weight.original0/original1``.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    init_scheme: str = "reference"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        init = InitScheme(self.init_scheme)
+
+        def g_init(key, shape, dtype):
+            # torch weight_norm initialises g = ‖w‖ of the wrapped layer
+            del key
+            v_val = self.get_variable("params", "v")
+            return jnp.linalg.norm(v_val.astype(jnp.float32), axis=0).astype(dtype)
+
+        v = self.param("v", init.linear_kernel(), (in_dim, self.features), self.param_dtype)
+        g = self.param("g", g_init, (self.features,), self.param_dtype)
+        bias = self.param("bias", init.linear_bias(in_dim), (self.features,), self.param_dtype)
+
+        v32 = v.astype(jnp.float32)
+        norm = jnp.linalg.norm(v32, axis=0, keepdims=True)
+        kernel = (g.astype(jnp.float32) * v32 / (norm + 1e-12)).astype(self.dtype)
+        y = jnp.dot(
+            x.astype(self.dtype), kernel, precision=jax.lax.Precision.HIGHEST
+        )
+        return y + bias.astype(self.dtype)
+
+
+class DINOHead(nn.Module):
+    """3-layer GELU MLP → L2-normalise → weight-norm Linear
+    (`/root/reference/vit_core/ssl/dino/head.py:7-23`)."""
+
+    embed_dim: int
+    output_dim: int
+    hidden_dim: int = 2048
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    init_scheme: str = "reference"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        init = InitScheme(self.init_scheme)
+
+        def dense(features, fan_in, name):
+            return nn.Dense(
+                features,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                precision=jax.lax.Precision.HIGHEST,
+                kernel_init=init.linear_kernel(),
+                bias_init=init.linear_bias(fan_in),
+                name=name,
+            )
+
+        x = x.astype(self.dtype)
+        x = dense(self.hidden_dim, self.embed_dim, "mlp_0")(x)
+        x = x * 0.5 * (1.0 + jax.lax.erf(x * 0.7071067811865476))
+        x = dense(self.hidden_dim, self.hidden_dim, "mlp_2")(x)
+        x = x * 0.5 * (1.0 + jax.lax.erf(x * 0.7071067811865476))
+        x = dense(self.embed_dim, self.hidden_dim, "mlp_4")(x)
+        # L2-normalise in fp32 (torch F.normalize default eps 1e-12)
+        x32 = x.astype(jnp.float32)
+        x = (x32 / jnp.maximum(jnp.linalg.norm(x32, axis=1, keepdims=True), 1e-12)).astype(self.dtype)
+        return WeightNormDense(
+            features=self.output_dim,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            init_scheme=self.init_scheme,
+            name="fully_connected",
+        )(x)
+
+
+class ViTBackbone(nn.Module):
+    """DynamicPatchEmbed + encoder stack → CLS embedding
+    (`/root/reference/vit_core/ssl/dino/model.py:12-45`)."""
+
+    num_blocks: int
+    input_shape: Tuple[int, int, int]
+    embed_dim: int
+    patch_size: int
+    num_heads: int = 8
+    mlp_dim: int = 3072
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
+    use_fused_mlp: bool = True
+    init_scheme: str = "reference"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        return_attn: bool = False,
+    ):
+        x = DynamicPatchEmbed(
+            input_shape=self.input_shape,
+            embed_dim=self.embed_dim,
+            patch_size=self.patch_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            init_scheme=self.init_scheme,
+            name="patch_embedding",
+        )(x)
+
+        block_cls = EncoderBlock
+        if self.remat:
+            block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
+
+        attn_probs = None
+        for i in range(self.num_blocks):
+            block = block_cls(
+                d_model=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                use_flash=self.use_flash,
+                use_fused_mlp=self.use_fused_mlp,
+                init_scheme=self.init_scheme,
+                name=f"encoder_blocks_{i}",
+            )
+            want_attn = return_attn and i == self.num_blocks - 1
+            if want_attn:
+                x, attn_probs = block(x, deterministic, True)
+            else:
+                x = block(x, deterministic, False)
+
+        cls_out = x[:, 0]
+        if return_attn:
+            return cls_out, attn_probs
+        return cls_out
+
+
+class DINONetwork(nn.Module):
+    """Backbone + projection head — the module applied with *either* the
+    student or the teacher parameter pytree."""
+
+    num_blocks: int
+    input_shape: Tuple[int, int, int]
+    embed_dim: int
+    patch_size: int
+    num_heads: int = 8
+    mlp_dim: int = 3072
+    dropout: float = 0.1
+    output_dim: int = 65536
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
+    use_fused_mlp: bool = True
+    init_scheme: str = "reference"
+    remat: bool = False
+
+    def setup(self):
+        self.backbone = ViTBackbone(
+            num_blocks=self.num_blocks,
+            input_shape=self.input_shape,
+            embed_dim=self.embed_dim,
+            patch_size=self.patch_size,
+            num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_flash=self.use_flash,
+            use_fused_mlp=self.use_fused_mlp,
+            init_scheme=self.init_scheme,
+            remat=self.remat,
+        )
+        self.head = DINOHead(
+            embed_dim=self.embed_dim,
+            output_dim=self.output_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            init_scheme=self.init_scheme,
+        )
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        return self.head(self.backbone(x, deterministic))
+
+    def features(self, x: jnp.ndarray, return_attn: bool = False):
+        """Backbone CLS features (teacher-side inference path,
+        `model.py:141-155`)."""
+        return self.backbone(x, True, return_attn)
+
+    def head_only(self, feats: jnp.ndarray) -> jnp.ndarray:
+        return self.head(feats)
+
+
+# ---------------------------------------------------------------------------
+# Pure-function DINO dynamics (loss / center / EMA / schedules)
+# ---------------------------------------------------------------------------
+
+def dino_loss(
+    teacher_output: jnp.ndarray,  # (Vt, B, K)
+    student_output: jnp.ndarray,  # (Vs, B, K)
+    center: jnp.ndarray,  # (1, K)
+    teacher_temp: jnp.ndarray,
+    student_temp: float,
+) -> jnp.ndarray:
+    """Exact replication of the reference's loss math
+    (`/root/reference/vit_core/ssl/dino/loss.py:13-29`): teacher probs are
+    centred+sharpened softmax, student log-softmax; the broadcast product is
+    summed over the student-view axis and averaged over the rest. (Like the
+    reference, the same-view pair is not excluded — SURVEY.md §7.)"""
+    teacher_output = jax.lax.stop_gradient(teacher_output).astype(jnp.float32)
+    student_output = student_output.astype(jnp.float32)
+    student_logp = jax.nn.log_softmax(student_output / student_temp, axis=-1)
+    teacher_p = jax.nn.softmax(
+        (teacher_output - center[None]) / teacher_temp, axis=-1
+    )
+    tp = teacher_p[:, None]  # (Vt, 1, B, K)
+    sp = student_logp[None]  # (1, Vs, B, K)
+    return -(tp * sp).sum(axis=1).mean()
+
+
+def update_center(
+    center: jnp.ndarray, teacher_output: jnp.ndarray, center_momentum: float
+) -> jnp.ndarray:
+    """EMA center update, DINO paper Eq. 4 (`model.py:91-99`). Under a
+    sharded jit the batch mean is global across devices."""
+    batch_mean = jnp.mean(
+        teacher_output.reshape(-1, teacher_output.shape[-1]).astype(jnp.float32),
+        axis=0,
+        keepdims=True,
+    )
+    return center_momentum * center + (1.0 - center_momentum) * batch_mean
+
+
+def momentum_update(teacher_params: Any, student_params: Any, momentum) -> Any:
+    """EMA of every teacher parameter toward the student (`model.py:126-139`)."""
+    return jax.tree_util.tree_map(
+        lambda t, s: momentum * t + (1.0 - momentum) * s,
+        teacher_params,
+        student_params,
+    )
+
+
+def cosine_momentum_schedule(step, m_start: float, m_end: float, total_iters: int):
+    """`DINOMomentumScheduler.get_momentum` (`dino_utils.py:4-17`)."""
+    step = jnp.asarray(step, jnp.float32)
+    cos_term = jnp.cos(jnp.pi * step / total_iters)
+    value = m_end - (m_end - m_start) * 0.5 * (1.0 + cos_term)
+    return jnp.where(step >= total_iters, m_end, value)
+
+
+def teacher_temp_schedule(
+    step, t_start: float, t_end: float, total_iters: int, schedule_type: str = "cosine"
+):
+    """`DINOTeacherTempScheduler.get_temp` (`dino_utils.py:19-36`)."""
+    step = jnp.asarray(step, jnp.float32)
+    progress = step / total_iters
+    if schedule_type == "linear":
+        value = t_start + (t_end - t_start) * progress
+    else:
+        cos_term = jnp.cos(jnp.pi * progress)
+        value = t_end - (t_end - t_start) * 0.5 * (1.0 + cos_term)
+    return jnp.where(step >= total_iters, t_end, value)

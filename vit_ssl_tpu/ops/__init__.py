@@ -1,0 +1,31 @@
+from .attention import MultiHeadAttention, scaled_dot_product_attention
+from .encoder_block import EncoderBlock
+from .feed_forward import FeedForwardBlock
+from .flash_attention import fused_attention, flash_attention_available
+from .fused_mlp import fused_mlp
+from .initializers import InitScheme
+from .mlp_head import MLPHead
+from .patch_embedding import (
+    ConvPatchEmbed,
+    DynamicPatchEmbed,
+    ManualPatchEmbed,
+    extract_patches,
+    patches_to_image,
+)
+
+__all__ = [
+    "MultiHeadAttention",
+    "scaled_dot_product_attention",
+    "EncoderBlock",
+    "FeedForwardBlock",
+    "fused_attention",
+    "flash_attention_available",
+    "fused_mlp",
+    "InitScheme",
+    "MLPHead",
+    "ConvPatchEmbed",
+    "DynamicPatchEmbed",
+    "ManualPatchEmbed",
+    "extract_patches",
+    "patches_to_image",
+]

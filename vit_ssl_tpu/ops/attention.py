@@ -1,0 +1,130 @@
+"""Multi-head self-attention.
+
+Functional parity with the reference's attention module
+(`/root/reference/vit_core/attention.py:5-106`): per-head Q/K/V linear
+projections **without bias**, scale 1/√d_k, softmax, bias-free output
+projection. Rebuilt as a Flax module with two execution paths:
+
+- ``fused``: the Pallas kernel in :mod:`.flash_attention` (training hot
+  path on TPU — scores never leave VMEM);
+- ``xla``: pure jnp einsum formulation (reference math; also the only path
+  that can return attention probabilities for the visualizers).
+
+Contract fix vs the reference (SURVEY.md §4 staleness warning): returns a
+single array unless ``return_attn=True``, in which case an ``(out, probs)``
+tuple is returned.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .flash_attention import (
+    default_interpret,
+    flash_attention_available,
+    fused_attention,
+)
+from .initializers import InitScheme
+
+
+def scaled_dot_product_attention(query, key, value, return_attn: bool = False):
+    """Reference-math attention: softmax(QKᵀ/√d_k)V.
+
+    Shapes (..., N, d). fp32 softmax regardless of input dtype (matching
+    torch autocast, which computes softmax in fp32).
+    """
+    d_k = query.shape[-1]
+    scores = jnp.einsum(
+        "...nd,...md->...nm",
+        query,
+        key,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = scores / jnp.sqrt(jnp.asarray(d_k, dtype=scores.dtype))
+    probs = jax.nn.softmax(scores, axis=-1)
+    context = jnp.einsum(
+        "...nm,...md->...nd",
+        probs.astype(value.dtype),
+        value,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(value.dtype)
+    if return_attn:
+        return context, probs
+    return context, None
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head self/cross attention with bias-free projections."""
+
+    d_model: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
+    init_scheme: str = "reference"
+
+    def setup(self):
+        if self.d_model % self.num_heads != 0:
+            raise ValueError(
+                f"d_model({self.d_model}) must be cleanly divisible by "
+                f"num_heads({self.num_heads})!"
+            )
+        init = InitScheme(self.init_scheme)
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.d_model,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            precision=jax.lax.Precision.HIGHEST,
+            kernel_init=init.linear_kernel(),
+            name=name,
+        )
+        self.w_query = dense("w_query")
+        self.w_key = dense("w_key")
+        self.w_value = dense("w_value")
+        self.final_linear = dense("final_linear")
+
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: Optional[jnp.ndarray] = None,
+        value: Optional[jnp.ndarray] = None,
+        return_attn: bool = False,
+    ):
+        key = query if key is None else key
+        value = key if value is None else value
+
+        b, n_q, _ = query.shape
+        n_k = key.shape[1]
+        d_head = self.d_model // self.num_heads
+
+        q = self.w_query(query).reshape(b, n_q, self.num_heads, d_head)
+        k = self.w_key(key).reshape(b, n_k, self.num_heads, d_head)
+        v = self.w_value(value).reshape(b, n_k, self.num_heads, d_head)
+        q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))  # (B,H,N,D)
+
+        probs = None
+        use_fused = (
+            self.use_flash
+            and not return_attn
+            and n_q == n_k
+            and flash_attention_available(n_q)
+        )
+        if use_fused:
+            context = fused_attention(
+                q, k, v, 1.0 / float(d_head) ** 0.5, default_interpret()
+            )
+        else:
+            context, probs = scaled_dot_product_attention(q, k, v, return_attn)
+
+        context = context.transpose(0, 2, 1, 3).reshape(b, n_q, self.d_model)
+        out = self.final_linear(context)
+        if return_attn:
+            return out, probs
+        return out

@@ -1,0 +1,84 @@
+"""Pre-LN transformer encoder block.
+
+Parity with `/root/reference/vit_core/encoder_block.py:9-53`:
+LN → MHA → dropout → residual, LN → FFN → dropout → residual. LayerNorms
+run in fp32 regardless of compute dtype (matching torch autocast, which
+keeps normalisation in fp32), and the result is cast back to the compute
+dtype so residual adds stay in bf16 on TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import MultiHeadAttention
+from .feed_forward import FeedForwardBlock
+
+
+class EncoderBlock(nn.Module):
+    d_model: int = 512
+    num_heads: int = 8
+    mlp_dim: int = 3072
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
+    use_fused_mlp: bool = True
+    init_scheme: str = "reference"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        return_attn: bool = False,
+    ):
+        ln1 = nn.LayerNorm(
+            dtype=jnp.float32, param_dtype=self.param_dtype, name="layer_norm1"
+        )
+        ln2 = nn.LayerNorm(
+            dtype=jnp.float32, param_dtype=self.param_dtype, name="layer_norm2"
+        )
+        attention = MultiHeadAttention(
+            d_model=self.d_model,
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_flash=self.use_flash,
+            init_scheme=self.init_scheme,
+            name="self_attention",
+        )
+        feed_forward = FeedForwardBlock(
+            d_model=self.d_model,
+            d_ff=self.mlp_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_fused=self.use_fused_mlp,
+            init_scheme=self.init_scheme,
+            name="feed_forward",
+        )
+        drop1 = nn.Dropout(rate=self.dropout, name="drop1")
+        drop2 = nn.Dropout(rate=self.dropout, name="drop2")
+
+        x = x.astype(self.dtype)
+        residual = x
+        h = ln1(x).astype(self.dtype)
+        attn_probs = None
+        if return_attn:
+            h, attn_probs = attention(h, return_attn=True)
+        else:
+            h = attention(h)
+        h = drop1(h, deterministic=deterministic)
+        x = h + residual
+
+        residual = x
+        h = ln2(x).astype(self.dtype)
+        h = feed_forward(h, deterministic=deterministic)
+        h = drop2(h, deterministic=deterministic)
+        x = h + residual
+
+        if return_attn:
+            return x, attn_probs
+        return x

@@ -1,0 +1,153 @@
+"""Fused multi-head attention as a Pallas (Mosaic) TPU kernel.
+
+TPU-native replacement for the reference's eager ``softmax(QKᵀ/√d)V``
+(`/root/reference/vit_core/attention.py:5-27`): one kernel per
+(batch × head) computes scores, the numerically-stable softmax, and the
+context matmul entirely in VMEM — the (N, N) score matrix never touches HBM.
+
+ViT sequence lengths here are short ((192/16)²+1 = 145 tokens supervised,
+144/36 for DINO crops — SURVEY.md §5 "long-context absent"), so a
+single-tile-per-head kernel is the speed-of-light design: no blockwise
+online softmax is needed until N is several thousand. Sequences longer
+than ``MAX_FUSED_SEQ`` fall back to the XLA path in ``attention.py``.
+
+The backward pass is exact (not approximated): a ``jax.custom_vjp``
+recomputes the softmax from the saved q/k/v in fp32 and applies the
+standard attention gradient, so ``jax.grad`` through the kernel matches the
+pure-jnp reference to fp32 tolerance (tests/test_flash_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_FUSED_SEQ = 2048  # (N, N) fp32 scores at 2048 = 16 MB VMEM — the ceiling
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
+    """One (batch·head) slice: refs are (1, N_pad, D)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),  # q @ k^T
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s = s * scale
+
+    n_pad = q.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    s = jnp.where(col < seq_len, s, -jnp.inf)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
+    """q, k, v: (B, H, N, D) -> (B, H, N, D)."""
+    b, h, n, d = q.shape
+    n_pad = max(_round_up(n, 128), 128)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    bh = b * h
+    qp = qp.reshape(bh, n_pad, d)
+    kp = kp.reshape(bh, n_pad, d)
+    vp = vp.reshape(bh, n_pad, d)
+
+    kernel = functools.partial(_attn_kernel, scale=scale, seq_len=n)
+    spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * (n_pad * n_pad * d) * 2,
+            bytes_accessed=4 * bh * n_pad * d * q.dtype.itemsize,
+            transcendentals=bh * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, n_pad, d)[:, :, :n, :]
+
+
+def _reference_softmax(q, k, scale):
+    s = jnp.einsum(
+        "bhnd,bhmd->bhnm",
+        q,
+        k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s = s * scale
+    return jax.nn.softmax(s, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q, k, v, scale: float, interpret: bool = False):
+    """Fused attention with exact gradients. Shapes (B, H, N, D)."""
+    return _fused_attention_fwd_impl(q, k, v, scale, interpret)
+
+
+def _fwd(q, k, v, scale, interpret):
+    o = _fused_attention_fwd_impl(q, k, v, scale, interpret)
+    return o, (q, k, v)
+
+
+def _bwd(scale, interpret, res, do):
+    q, k, v = res
+    del interpret
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    dof = do.astype(jnp.float32)
+    p = _reference_softmax(qf, kf, scale)  # (B,H,N,M)
+    hi = jax.lax.Precision.HIGHEST
+    o = jnp.einsum("bhnm,bhmd->bhnd", p, vf, precision=hi)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, dof, precision=hi)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", dof, vf, precision=hi)
+    delta = jnp.sum(dof * o, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, kf, precision=hi) * scale
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, qf, precision=hi) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+fused_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention_available(seq_len: int) -> bool:
+    return seq_len <= MAX_FUSED_SEQ
+
+
+def default_interpret() -> bool:
+    """Run the kernel in interpreter mode off-TPU (CPU tests, SURVEY §4d)."""
+    return jax.default_backend() != "tpu"

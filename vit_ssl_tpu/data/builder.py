@@ -1,0 +1,123 @@
+"""Dataloader construction — `prepare_dataloaders` parity.
+
+Mirrors `/root/reference/data/data_builder.py:15-151`: mode-keyed dataset
+dispatch (including eval modes), seeded train/val split by
+``data.val_split``, re-attaching ``num_global_views`` onto subsets, and
+train-only shuffling. Supervised train/val get separate transform
+pipelines; SimMIM/DINO share one dataset object for train and val
+(`data_builder.py:34-61`).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..config import is_list
+from .datasets import (
+    CIFAR10Dataset,
+    STL10Dataset,
+    STL10DINODataset,
+    STL10UnsupervisedDataset,
+    Subset,
+)
+from .loader import DataLoader
+
+logger = logging.getLogger(__name__)
+
+
+def _get_dataset(config, mode: str, transforms: Dict):
+    section = config.get("eval", {}) if "eval" in mode else config.get("data", {})
+    dataset_name = str(
+        section.get("dataset_name", config.get("data", {}).get("dataset_name", ""))
+    ).lower()
+    data_dir = section.get("data_dir", config.get("data", {}).get("data_dir"))
+    data_csv = section.get("data_csv", config.get("data", {}).get("data_csv"))
+
+    if mode in ["supervised", "finetune", "eval_knn", "eval_linear", "eval_umap"]:
+        if dataset_name == "cifar10":
+            return (
+                CIFAR10Dataset(data_csv, data_dir, transform=transforms["train"]),
+                CIFAR10Dataset(data_csv, data_dir, transform=transforms["val"]),
+            )
+        if dataset_name == "stl10":
+            return (
+                STL10Dataset(data_csv, data_dir, transform=transforms["train"]),
+                STL10Dataset(data_csv, data_dir, transform=transforms["val"]),
+            )
+        raise ValueError(f"Unknown supervised/labeled dataset: {dataset_name}")
+
+    if mode == "simmim":
+        if dataset_name == "stl10":
+            dataset = STL10UnsupervisedDataset(data_dir, transform=transforms["train"])
+            return dataset, dataset
+        raise ValueError(f"Unknown unsupervised dataset: {dataset_name}")
+
+    if mode in ["dino", "eval_dino"]:
+        if dataset_name == "stl10":
+            dataset = STL10DINODataset(
+                data_dir,
+                transforms=transforms,
+                num_all_views=config.training.num_all_views,
+                num_global_views=config.training.num_global_views,
+            )
+            return dataset, dataset
+        raise ValueError(f"Unknown DINO dataset: {dataset_name}")
+
+    raise ValueError(f"Unknown mode for dataset creation: {mode}")
+
+
+def prepare_dataloaders(config, transforms, mode) -> Tuple[DataLoader, DataLoader]:
+    """Single entry point for train/eval dataloaders (`data_builder.py:70`)."""
+    if is_list(mode):
+        data_loading_mode = mode[0]
+        logger.info("Multiple evaluation modes detected: %s", mode)
+    else:
+        data_loading_mode = str(mode).lower()
+    logger.info("Preparing dataloaders for mode: '%s'", data_loading_mode)
+
+    train_full, val_full = _get_dataset(config, data_loading_mode, transforms)
+
+    total = len(train_full)
+    val_split = float(config.data.val_split)
+    if val_split <= 0 or val_split >= 1:
+        train_size, val_size = total, 0
+    else:
+        val_size = int(total * val_split)
+        train_size = total - val_size
+
+    seed = int(config.training.random_seed) if "training" in config else 0
+
+    if val_size > 0:
+        perm = np.random.default_rng(seed).permutation(total)
+        train_dataset = Subset(train_full, perm[:train_size])
+        val_dataset = Subset(val_full, perm[train_size:])
+    else:
+        train_dataset, val_dataset = train_full, None
+
+    batch_size = config.get("training", {}).get(
+        "batch_size", config.get("eval", {}).get("batch_size")
+    )
+    num_workers = int(config.data.num_workers)
+
+    train_loader = DataLoader(
+        train_dataset,
+        batch_size=batch_size,
+        shuffle=True,
+        num_workers=num_workers,
+        seed=seed,
+        prefetch_factor=2,
+    )
+    val_loader = None
+    if val_dataset is not None:
+        val_loader = DataLoader(
+            val_dataset,
+            batch_size=batch_size,
+            shuffle=False,
+            num_workers=num_workers,
+            seed=seed,
+            prefetch_factor=2,
+        )
+    return train_loader, val_loader

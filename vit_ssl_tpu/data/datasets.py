@@ -1,0 +1,152 @@
+"""Dataset classes.
+
+Parity with `/root/reference/data/datasets.py`: CSV-indexed CIFAR10 folder,
+JSON-indexed STL10 folder, sorted-glob unlabeled STL10, and the DINO
+multi-crop dataset that materialises ``num_global_views`` global crops plus
+``num_all_views - num_global_views`` local crops per image through the
+'globals'/'locals' transform pipelines.
+
+Datasets return numpy arrays (HWC float32 after ToTensor) and plain int
+labels — the loader stacks them into NHWC batches.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+
+class Dataset:
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int):
+        raise NotImplementedError
+
+
+def _load_image(path: str) -> Image.Image:
+    with Image.open(path) as img:
+        return img.convert("RGB")
+
+
+class CIFAR10Dataset(Dataset):
+    """CSV-indexed PNG folder (`datasets.py:11-32`): column 0 is the file
+    stem, column 1 the class name; labels are indices into the sorted class
+    list."""
+
+    def __init__(self, csv_file: str, root_dir: str, transform: Optional[Callable] = None):
+        self.data = pd.read_csv(csv_file)
+        self.root_dir = root_dir
+        self.transform = transform
+        self.classes = sorted(self.data.iloc[:, 1].unique().tolist())
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
+        name = str(self.data.iloc[idx, 0])
+        image = _load_image(os.path.join(self.root_dir, f"{name}.png"))
+        label = self.class_to_idx[self.data.iloc[idx, 1]]
+        if self.transform:
+            image = self.transform(image, rng)
+        return image, label
+
+
+class STL10Dataset(Dataset):
+    """JSON-indexed labeled folder (`datasets.py:35-58`)."""
+
+    def __init__(self, json_file: str, root_dir: str, transform: Optional[Callable] = None):
+        self.data = pd.read_json(json_file)
+        self.root_dir = root_dir
+        self.transform = transform
+        self.classes = sorted(self.data.iloc[:, 1].unique().tolist())
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
+        name = str(self.data.iloc[idx, 0]).split("/")[-1]
+        image = _load_image(os.path.join(self.root_dir, name))
+        label = self.class_to_idx[self.data.iloc[idx, 1]]
+        if self.transform:
+            image = self.transform(image, rng)
+        return image, label
+
+
+class STL10UnsupervisedDataset(Dataset):
+    """Sorted glob of ``*.png``, image-only (`datasets.py:61-77`)."""
+
+    def __init__(self, root_dir: str, transform: Optional[Callable] = None):
+        self.root_dir = root_dir
+        self.transform = transform
+        self.files = sorted(glob.glob(f"{root_dir}/*.png"))
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
+        image = _load_image(self.files[idx])
+        if self.transform:
+            image = self.transform(image, rng)
+        return image
+
+
+class STL10DINODataset(Dataset):
+    """Multi-crop dataset (`datasets.py:80-123`): per item, returns a list
+    of ``num_all_views`` view arrays — globals first, then locals."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        transforms: Optional[Dict[str, Callable]] = None,
+        num_all_views: Optional[int] = None,
+        num_global_views: Optional[int] = None,
+    ):
+        self.root_dir = root_dir
+        self.transforms = transforms
+        self.files = sorted(glob.glob(f"{root_dir}/*.png"))
+        self.num_all_views = num_all_views
+        self._num_global_views = num_global_views
+
+    @property
+    def num_global_views(self) -> int:
+        return self._num_global_views
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx, rng: Optional[np.random.Generator] = None) -> List[np.ndarray]:
+        image = _load_image(self.files[idx])
+        arr = np.asarray(image)
+        views = [
+            self.transforms["globals"](arr, rng) for _ in range(self.num_global_views)
+        ]
+        num_local = self.num_all_views - self.num_global_views
+        views.extend(self.transforms["locals"](arr, rng) for _ in range(num_local))
+        return views
+
+
+class Subset(Dataset):
+    """Index-restricted view of a dataset (torch.utils.data.Subset parity,
+    used by the seeded train/val split in `data_builder.py:107-118`)."""
+
+    def __init__(self, dataset: Dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+        if hasattr(dataset, "num_global_views"):
+            self.num_global_views = dataset.num_global_views
+        if hasattr(dataset, "classes"):
+            self.classes = dataset.classes
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
+        return self.dataset.__getitem__(self.indices[idx], rng)

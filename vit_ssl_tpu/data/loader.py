@@ -1,0 +1,146 @@
+"""Host-side data loader: threaded decode/augment workers + batch prefetch.
+
+TPU-native replacement for torch ``DataLoader`` (the reference's only
+process boundary, `/root/reference/data/data_builder.py:129-149`): worker
+threads decode+augment samples (PIL/cv2 release the GIL for the heavy
+work), whole batches are assembled into pinned numpy arrays, and a bounded
+prefetch queue keeps ``prefetch_factor`` batches ready ahead of the
+training step so the accelerator never waits on the host.
+
+Static-shape discipline: the final short batch is padded up to
+``batch_size`` and a per-sample ``weight`` vector (1 real / 0 pad) rides
+along, so every step reuses one compiled executable and loss/metrics stay
+exact under padding.
+
+Per-sample RNG is ``PRNG(seed, epoch, index)``-derived, making augmentation
+streams reproducible regardless of worker scheduling.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .datasets import Dataset
+
+
+def _collate(samples: List[Any], pad_to: int) -> Dict[str, np.ndarray]:
+    """Stack samples; pad with copies of sample 0 at weight 0."""
+    n_real = len(samples)
+    weight = np.zeros((pad_to,), dtype=np.float32)
+    weight[:n_real] = 1.0
+    while len(samples) < pad_to:
+        samples.append(samples[0])
+
+    first = samples[0]
+    if isinstance(first, tuple) and len(first) == 2:  # (image, label)
+        images = np.stack([s[0] for s in samples]).astype(np.float32)
+        labels = np.asarray([s[1] for s in samples], dtype=np.int32)
+        return {"image": images, "label": labels, "weight": weight}
+    if isinstance(first, list):  # multi-crop views
+        num_views = len(first)
+        views = [
+            np.stack([s[v] for s in samples]).astype(np.float32)
+            for v in range(num_views)
+        ]
+        return {"views": views, "weight": weight}
+    images = np.stack(samples).astype(np.float32)
+    return {"image": images, "weight": weight}
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 0,
+        seed: int = 0,
+        drop_last: bool = False,
+        prefetch_factor: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(0, int(num_workers))
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch_factor = max(1, prefetch_factor)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _fetch(self, index: int) -> Any:
+        rng = np.random.default_rng((self.seed, self.epoch, int(index)))
+        try:
+            return self.dataset.__getitem__(int(index), rng)
+        except TypeError:
+            return self.dataset[int(index)]
+
+    def _batches(self) -> List[np.ndarray]:
+        order = self._index_order()
+        if self.drop_last:
+            order = order[: (len(order) // self.batch_size) * self.batch_size]
+        return [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+        if self.num_workers == 0:
+            for idxs in batches:
+                yield _collate([self._fetch(i) for i in idxs], self.batch_size)
+            return
+
+        out_q: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch_factor)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self._fetch, idxs))
+                        out_q.put(_collate(samples, self.batch_size))
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors in the consumer
+                out_q.put(e)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit promptly
+            while not out_q.empty():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

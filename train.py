@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Training entry point — same CLI surface as the reference's Hydra main
+(`/root/reference/train.py:103-133`):
+
+    python train.py                                # default config (dino)
+    python train.py --config-name supervised       # pick a mode preset
+    python train.py training.type=finetune training.pretrained_path=...
+    python train.py training.num_epochs=50 data.img_size=96   # overrides
+
+Composes the config, creates the run dir from ``hydra.run.dir`` (saving
+``.hydra/config.yaml`` + ``overrides.yaml`` exactly like Hydra so the
+standalone evaluators can re-merge them), builds the data pipeline, model,
+and device mesh, and runs the mode's trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s | %(levelname)s | %(message)s",
+    handlers=[logging.StreamHandler(), logging.FileHandler("train.log")],
+)
+for noisy in ("orbax", "absl", "jax", "etils"):
+    logging.getLogger(noisy).setLevel(logging.WARNING)
+logger = logging.getLogger(__name__)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--config-name", "-cn", default="config", help="config root to compose"
+    )
+    parser.add_argument(
+        "--config-path", "-cp", default="configs", help="config directory"
+    )
+    parser.add_argument(
+        "overrides", nargs="*", help="hydra-style dotlist overrides (a.b=c)"
+    )
+    return parser.parse_args(argv)
+
+
+def get_save_path(config) -> str:
+    """Run-dir policy parity (`train.py:90-101`): resume re-homes into the
+    original experiment dir; otherwise ``hydra.run.dir`` is created."""
+    resume = config["training"].get("resume_from_checkpoint", None)
+    if resume:
+        resume_dir = os.path.dirname(resume)
+        assert os.path.exists(
+            resume_dir
+        ), f"resume_from_checkpoint: {resume_dir} does not exist!"
+        return resume_dir
+    run_dir = config.get("hydra", {}).get("run", {}).get("dir", ".")
+    return run_dir
+
+
+def save_run_config(config, overrides, save_path: str) -> None:
+    from vit_ssl_tpu.config import save_yaml, to_container
+
+    hydra_dir = os.path.join(save_path, ".hydra")
+    os.makedirs(hydra_dir, exist_ok=True)
+    cfg = to_container(config)
+    cfg.pop("hydra", None)
+    save_yaml(cfg, os.path.join(hydra_dir, "config.yaml"))
+    save_yaml(list(overrides), os.path.join(hydra_dir, "overrides.yaml"))
+
+
+def get_trainer(mode, bundle, save_path, config, train_loader, val_loader, mesh):
+    from vit_ssl_tpu.train import DINOTrainer, SimMIMTrainer, SupervisedTrainer
+
+    if mode in ("supervised", "finetune"):
+        cls = SupervisedTrainer
+    elif mode == "simmim":
+        cls = SimMIMTrainer
+    elif mode == "dino":
+        cls = DINOTrainer
+    else:
+        raise ValueError(f"Unknown training mode: {mode}")
+    return cls(bundle, save_path, config, train_loader, val_loader, mesh)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from vit_ssl_tpu.config import compose, validate_train_config
+    from vit_ssl_tpu.data import get_transforms, prepare_dataloaders
+    from vit_ssl_tpu.models.builder import build_model
+    from vit_ssl_tpu.parallel import mesh_from_config
+
+    config = compose(args.config_path, args.config_name, args.overrides)
+    validate_train_config(config)
+    mode = str(config["training"]["type"]).lower()
+    logger.info("Starting training with mode: %s", mode)
+
+    import jax
+
+    logger.info(
+        "JAX backend: %s (%d devices)", jax.default_backend(), jax.device_count()
+    )
+    mesh = mesh_from_config(config)
+    logger.info("Device mesh: %s", mesh)
+
+    transforms = get_transforms(config)
+    train_loader, val_loader = prepare_dataloaders(config, transforms, mode)
+    bundle = build_model(config)
+
+    save_path = get_save_path(config)
+    os.makedirs(save_path, exist_ok=True)
+    save_run_config(config, args.overrides, save_path)
+    logger.info("Run directory: %s", save_path)
+
+    trainer = get_trainer(
+        mode, bundle, save_path, config, train_loader, val_loader, mesh
+    )
+    resume = config["training"].get("resume_from_checkpoint", None)
+    if resume:
+        trainer.resume_from(resume)
+
+    trainer.fit(int(config["training"]["num_epochs"]))
+    logger.info("Training completed for mode: %s", mode)
+    return save_path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+from .mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    create_mesh,
+    mesh_from_config,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "create_mesh",
+    "mesh_from_config",
+    "replicate",
+    "replicated_sharding",
+    "shard_batch",
+]

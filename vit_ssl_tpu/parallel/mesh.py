@@ -1,0 +1,73 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-process single-device (`SURVEY.md §2.6`); here
+data parallelism over ICI is first-class: a 1-D ``('data',)`` mesh, batches
+sharded on the leading axis, parameters/optimizer state replicated. Train
+steps are compiled with ``jax.jit`` + NamedSharding constraints so XLA
+inserts the gradient all-reduce (and the DINO center all-reduce the
+reference dropped) over ICI automatically.
+
+Multi-host extension: `jax.distributed.initialize` + the same mesh over
+``jax.devices()`` spans DCN with no step-code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: int = -1, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices
+    (-1 = all)."""
+    devices = jax.devices()
+    if num_devices is None or num_devices < 0:
+        num_devices = len(devices)
+    num_devices = min(num_devices, len(devices))
+    return Mesh(np.asarray(devices[:num_devices]), (axis_name,))
+
+
+def mesh_from_config(config) -> Mesh:
+    parallel = config.get("parallel", {}) or {}
+    return create_mesh(int(parallel.get("num_devices", -1)))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Optional[Mesh]):
+    """device_put a host batch with batch-axis sharding (replicated scalars).
+
+    Non-blocking: the transfer overlaps with the previous step's compute,
+    giving double-buffered host→HBM prefetch when the caller stays one
+    batch ahead.
+    """
+    if mesh is None:
+        return jax.device_put(batch)
+    data_sh = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        return jax.device_put(x, data_sh)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Optional[Mesh]):
+    if mesh is None:
+        return jax.device_put(tree)
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,322 @@
+"""Per-mode jitted train/eval steps.
+
+The reference's eager per-batch body (forward, autocast, GradScaler,
+backward, optimizer, schedulers, EMA — e.g.
+`/root/reference/utils/trainers/dino_trainer.py:82-112`) becomes ONE
+compiled XLA program per mode here: loss, gradients, optimizer update, lr
+schedule, and for DINO the teacher EMA + center EMA all fuse into a single
+executable. The only host↔device traffic per step is the input batch in and
+a handful of scalar metrics out.
+
+Sharding: steps are compiled under the data mesh; batches arrive sharded on
+the leading axis, state replicated. XLA inserts gradient all-reduces (and
+the global-mean collective inside the DINO center update) over ICI.
+
+Padded final batches carry a per-sample ``weight`` (loader contract), and
+every loss/metric here is weight-exact, so one compiled shape serves the
+whole epoch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.dino import dino_loss, momentum_update, update_center
+from ..models.simmim import masked_l1_loss
+from ..utils.metrics import dino_distribution_stats, psnr_stats, ssim_stats
+from .state import TrainState
+
+# ---------------------------------------------------------------------------
+# Criterion registry (make_criterion parity, `train_utils.py:19-22`)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_mean(values, weight):
+    w = weight.astype(jnp.float32)
+    return jnp.sum(values * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def cross_entropy_loss(logits, labels, weight):
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels
+    )
+    return _weighted_mean(ce, weight)
+
+
+def make_criterion(config) -> Callable:
+    """Name-keyed loss factory mirroring the reference's reflection over
+    ``torch.nn`` (`/root/reference/utils/train_utils.py:19-22`)."""
+    crit = config["training"].get("criterion", {}) or {}
+    name = crit.get("name", "CrossEntropyLoss")
+    registry = {
+        "CrossEntropyLoss": "ce",
+        "L1Loss": "l1",
+        "MSELoss": "mse",
+        "SmoothL1Loss": "smooth_l1",
+    }
+    if name not in registry:
+        raise ValueError(f"Unknown criterion '{name}'")
+    return registry[name]
+
+
+# ---------------------------------------------------------------------------
+# Supervised / finetune
+# ---------------------------------------------------------------------------
+
+
+def make_supervised_steps(model, tx, donate: bool = True):
+    """Returns (train_step, eval_step), both jitted.
+
+    train_step(state, batch) -> (state, out) with out carrying the batch
+    loss, weighted correct/total, and per-sample preds/labels for the
+    host-side F1/Recall/Precision registry.
+    """
+
+    def loss_fn(params, batch, dropout_rng):
+        logits = model.apply(
+            {"params": params},
+            batch["image"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        loss = cross_entropy_loss(logits, batch["label"], batch["weight"])
+        return loss, logits
+
+    def train_step(state: TrainState, batch):
+        (dropout_rng,) = state.next_rng(1)
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, dropout_rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        out = {
+            "loss": loss,
+            "weight_sum": jnp.sum(batch["weight"]),
+            "preds": preds,
+            "labels": batch["label"],
+            "weight": batch["weight"],
+        }
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, out
+
+    def eval_step(state: TrainState, batch):
+        logits = model.apply({"params": state.params}, batch["image"], deterministic=True)
+        loss = cross_entropy_loss(logits, batch["label"], batch["weight"])
+        return {
+            "loss": loss,
+            "weight_sum": jnp.sum(batch["weight"]),
+            "preds": jnp.argmax(logits, axis=-1),
+            "labels": batch["label"],
+            "weight": batch["weight"],
+        }
+
+    donate_args = (0,) if donate else ()
+    return (
+        jax.jit(train_step, donate_argnums=donate_args),
+        jax.jit(eval_step),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimMIM
+# ---------------------------------------------------------------------------
+
+
+def make_simmim_steps(model, tx, patch_size: int, channels: int, criterion: str = "l1",
+                      donate: bool = True):
+    """Masked reconstruction steps. The random mask is drawn inside the
+    compiled step (SURVEY.md §7: "single compiled step including mask
+    generation"). PSNR/SSIM ingredients accumulate as scalars on device."""
+
+    def recon_loss(preds, targets, mask_w):
+        if criterion == "mse":
+            err = (preds.astype(jnp.float32) - targets.astype(jnp.float32)) ** 2
+            w = mask_w[..., None].astype(jnp.float32)
+            return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[-1], 1.0)
+        return masked_l1_loss(preds, targets, mask_w)
+
+    def forward_stats(params, batch, rngs, deterministic):
+        preds, targets, mask = model.apply(
+            {"params": params}, batch["image"], deterministic=deterministic, rngs=rngs
+        )
+        mask_w = mask.astype(jnp.float32) * batch["weight"][:, None]
+        loss = recon_loss(preds, targets, mask_w)
+        clamped = jnp.clip(preds, 0.0, 1.0)  # reference clamps preds only
+        sse, cnt = psnr_stats(clamped, targets, mask_w[..., None])
+        ssim_sum, ssim_cnt = ssim_stats(clamped, targets, mask_w, patch_size, channels)
+        stats = {
+            "psnr_sse": sse,
+            "psnr_count": cnt,
+            "ssim_sum": ssim_sum,
+            "ssim_count": ssim_cnt,
+        }
+        return loss, stats
+
+    def train_step(state: TrainState, batch):
+        dropout_rng, mask_rng = state.next_rng(2)
+        rngs = {"dropout": dropout_rng, "mask": mask_rng}
+
+        def loss_fn(params):
+            return forward_stats(params, batch, rngs, deterministic=False)
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, {"loss": loss, **stats}
+
+    def eval_step(state: TrainState, batch, mask_rng):
+        rngs = {"mask": mask_rng}
+        loss, stats = forward_stats(state.params, batch, rngs, deterministic=True)
+        return {"loss": loss, **stats}
+
+    donate_args = (0,) if donate else ()
+    return (
+        jax.jit(train_step, donate_argnums=donate_args),
+        jax.jit(eval_step),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DINO
+# ---------------------------------------------------------------------------
+
+
+def make_dino_steps(
+    model,
+    tx,
+    num_global_views: int,
+    num_all_views: int,
+    student_temp: float,
+    center_momentum: float,
+    donate: bool = True,
+    teacher_dropout: bool = True,
+):
+    """Multi-crop self-distillation steps.
+
+    One compiled program runs: student fwd on concatenated globals and on
+    concatenated locals (two static shapes), teacher fwd on globals under
+    stop-gradient, center EMA (uses the *updated* center in the loss,
+    matching `DINOViT._teacher_forward` ordering, `model.py:104-108` —
+    the buffer is updated inside the forward before the trainer computes
+    the loss), backward, AdamW, teacher EMA.
+
+    ``teacher_dropout=True`` replicates the reference quirk that the
+    teacher runs in train mode (dropout active) during training
+    (`model.train()` puts the whole DINOViT incl. teacher in train mode).
+    """
+    ng, na = num_global_views, num_all_views
+    nl = na - ng
+
+    def outputs(params, teacher_params, center, batch, rngs, training: bool):
+        views = batch["views"]
+        globals_x = jnp.concatenate(views[:ng], axis=0)
+        locals_x = jnp.concatenate(views[ng:], axis=0) if nl > 0 else None
+        b = views[0].shape[0]
+
+        det_student = not training
+        s_g = model.apply(
+            {"params": params}, globals_x, det_student,
+            rngs={"dropout": rngs["student_g"]} if training else {},
+        )
+        s_parts = [s_g]
+        if locals_x is not None:
+            s_l = model.apply(
+                {"params": params}, locals_x, det_student,
+                rngs={"dropout": rngs["student_l"]} if training else {},
+            )
+            s_parts.append(s_l)
+        student_out = jnp.concatenate(s_parts, axis=0)
+
+        det_teacher = not (training and teacher_dropout)
+        t_g = model.apply(
+            {"params": teacher_params}, globals_x, det_teacher,
+            rngs={} if det_teacher else {"dropout": rngs["teacher"]},
+        )
+        t_g = jax.lax.stop_gradient(t_g)
+
+        k = t_g.shape[-1]
+        teacher_views = t_g.reshape(ng, b, k)
+        student_views = student_out.reshape(na, b, k)
+        new_center = update_center(center, t_g, center_momentum)
+        return teacher_views, student_views, new_center
+
+    def weighted_dino_loss(t, s, center, t_temp, weight):
+        """Reference loss math with sample-weighting for padded batches:
+        exact when all weights are 1 (full batches)."""
+        t = jax.lax.stop_gradient(t).astype(jnp.float32)
+        s = s.astype(jnp.float32)
+        sp = jax.nn.log_softmax(s / student_temp, axis=-1)
+        tp = jax.nn.softmax((t - center[None]) / t_temp, axis=-1)
+        per = -(tp[:, None] * sp[None]).sum(axis=1)  # (Vt, B, K)
+        w = weight.astype(jnp.float32)[None, :, None]
+        return jnp.sum(per * w) / jnp.maximum(
+            jnp.sum(jnp.broadcast_to(w, per.shape)), 1.0
+        )
+
+    def train_step(state: TrainState, batch, teacher_temp, teacher_momentum):
+        rng_sg, rng_sl, rng_t = state.next_rng(3)
+        rngs = {"student_g": rng_sg, "student_l": rng_sl, "teacher": rng_t}
+
+        def loss_fn(params):
+            t, s, new_center = outputs(
+                params, state.teacher_params, state.center, batch, rngs, True
+            )
+            loss = weighted_dino_loss(t, s, new_center, teacher_temp, batch["weight"])
+            return loss, (t, s, new_center)
+
+        (loss, (t, s, new_center)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_teacher = momentum_update(state.teacher_params, new_params, teacher_momentum)
+        stats = dino_distribution_stats(t, s, new_center)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            teacher_params=new_teacher,
+            center=new_center,
+        )
+        return new_state, {"loss": loss, "dino_stats": stats}
+
+    def eval_step(state: TrainState, batch, teacher_temp):
+        rngs = {"student_g": None, "student_l": None, "teacher": None}
+        t, s, new_center = outputs(
+            state.params, state.teacher_params, state.center, batch, rngs, False
+        )
+        loss = weighted_dino_loss(t, s, new_center, teacher_temp, batch["weight"])
+        stats = dino_distribution_stats(t, s, new_center)
+        # the reference's teacher forward updates the center buffer during
+        # validation too (`model.py:104-108` under `validate`) — replicated
+        # by returning the advanced center for the trainer to adopt.
+        new_state = state.replace(center=new_center)
+        return new_state, {"loss": loss, "dino_stats": stats}
+
+    donate_args = (0,) if donate else ()
+    return (
+        jax.jit(train_step, donate_argnums=donate_args),
+        jax.jit(eval_step),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (evaluators)
+# ---------------------------------------------------------------------------
+
+
+def make_inference_fn(apply_fn) -> Callable:
+    """Jitted batched feature extractor used by all evaluators
+    (`evaluator_utils.py:8-22` parity, but compiled)."""
+    return jax.jit(apply_fn)

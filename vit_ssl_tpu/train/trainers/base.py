@@ -1,0 +1,192 @@
+"""Base trainer: shared fit loop, state construction, checkpointing.
+
+Control-flow parity with `/root/reference/utils/trainers/base_trainer.py`:
+fit = train_epoch → validate → log → save-best (val Loss, ``<=``) →
+save-last; checkpoints embed the config. Differences by design:
+
+- optimizer/schedule/EMA live inside the jitted step (no host-side
+  scheduler stepping, no GradScaler — bf16 on TPU needs no loss scaling);
+- the train state is an explicit pytree, replicated over the data mesh;
+- per-step device→host sync is avoided: scalar outputs are collected as
+  device arrays and fetched once per epoch.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from abc import ABC, abstractmethod
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ...config import to_container
+from ...parallel import replicate, shard_batch
+from ...train.schedules import lr_schedule_from_config
+from ...train.state import create_train_state, make_optimizer
+from ...utils.checkpoint import checkpoint_exists, load_checkpoint, save_checkpoint
+from ...utils.history import TrainingHistory
+from ...utils.logger import Logger
+from ...utils.metrics import MetricHandler
+
+logger = logging.getLogger(__name__)
+
+
+class BaseTrainer(ABC):
+    def __init__(self, bundle, save_path: str, config, train_loader, val_loader, mesh=None):
+        self.bundle = bundle
+        self.model = bundle.module
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.mesh = mesh
+        self.save_path = save_path
+        self.warmup_epochs = int(config["training"]["warmup_epochs"])
+        self.num_epochs = int(config["training"]["num_epochs"])
+        self.eval_interval = int(config["eval"].get("interval", 0) or 0)
+
+        self.lr_schedule = lr_schedule_from_config(config, max(1, len(train_loader)))
+        self.tx = make_optimizer(config, self.lr_schedule, self._trainable_mask())
+
+        self.metric_handler = MetricHandler(config)
+        self.train_logger = Logger(
+            self.metric_handler.metric_names,
+            len(train_loader),
+            len(val_loader) if val_loader is not None else 0,
+            self.num_epochs + 1,
+            plain=bool(config["training"].get("plain_logging", False)),
+        )
+        self.history = TrainingHistory(save_path)
+
+        self.best_val_loss = math.inf
+        self.current_epoch = 0
+        self.start_epoch = 0
+
+        self.state = self._init_state()
+        self._build_steps()
+
+    # -- hooks ---------------------------------------------------------------
+    def _trainable_mask(self) -> Optional[Any]:
+        return None
+
+    @abstractmethod
+    def _build_steps(self):
+        """(Re)compile the jitted step functions against ``self.tx``."""
+
+    @abstractmethod
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        ...
+
+    @abstractmethod
+    def validate(self):
+        ...
+
+    # -- state ----------------------------------------------------------------
+    def _init_state(self):
+        seed = int(self.config["training"].get("random_seed", 0))
+        rng = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(rng)
+        trees = self.bundle.init_fn(init_rng)
+        trees = self._apply_pretrained(trees)
+        state = create_train_state(
+            trees["params"],
+            self.tx,
+            state_rng,
+            teacher_params=trees.get("teacher_params"),
+            center=trees.get("center"),
+        )
+        return replicate(state, self.mesh)
+
+    def _apply_pretrained(self, trees):
+        return trees
+
+    # -- fit loop ---------------------------------------------------------------
+    def fit(self, num_epochs: int):
+        end_epoch = self.start_epoch + num_epochs
+        with self.train_logger:
+            for epoch in range(self.start_epoch + 1, end_epoch + 1):
+                self.current_epoch = epoch
+                train_metrics = self.train_epoch(epoch)
+                val_metrics = self.validate()
+                self._log_metrics(train_metrics, val_metrics)
+                self.history.update(train_metrics, val_metrics)
+                self._save_if_best(epoch, val_metrics["Loss"])
+                self._save_last(epoch)
+                self._post_epoch_hook(epoch, train_metrics, val_metrics)
+        self._vizualize()
+
+    def _post_epoch_hook(self, epoch, train_metrics, val_metrics):
+        pass
+
+    def _log_metrics(self, train_metrics, val_metrics):
+        self.train_logger.log_train_epoch(**train_metrics)
+        self.train_logger.log_val_epoch(**val_metrics)
+
+    # -- checkpointing ------------------------------------------------------------
+    def _state_tree(self) -> Dict[str, Any]:
+        tree = {
+            "step": self.state.step,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+        }
+        if self.state.teacher_params is not None:
+            tree["teacher_params"] = self.state.teacher_params
+        if self.state.center is not None:
+            tree["center"] = self.state.center
+        return tree
+
+    def _save(self, name: str, epoch: int, extra: Dict[str, Any]):
+        os.makedirs(self.save_path, exist_ok=True)
+        metadata = {
+            "epoch": epoch,
+            "config": to_container(self.config),
+            "mode": self.bundle.mode,
+            **extra,
+        }
+        save_checkpoint(os.path.join(self.save_path, name), self._state_tree(), metadata)
+
+    def _save_if_best(self, epoch: int, val_loss: float):
+        if self.best_val_loss >= val_loss:
+            self.best_val_loss = float(val_loss)
+            self.train_logger.pause()
+            logger.info(
+                "New best validation loss: %.4f. Saving model...", self.best_val_loss
+            )
+            self._save("best_model", epoch, {"best_val_loss": self.best_val_loss})
+            self.train_logger.resume()
+
+    def _save_last(self, epoch: int):
+        self._save("last_model", epoch, {})
+        self.train_logger.resume()
+
+    def resume_from(self, path: str):
+        """Restore params/opt/teacher/center + epoch (`train.py:23-42`)."""
+        if not checkpoint_exists(path):
+            logger.warning("Resume path %s does not exist. Starting from scratch.", path)
+            return
+        template = jax.device_get(self._state_tree())
+        tree, metadata = load_checkpoint(path, template)
+        self.state = self.state.replace(
+            step=tree["step"],
+            params=tree["params"],
+            opt_state=tree["opt_state"],
+            teacher_params=tree.get("teacher_params", self.state.teacher_params),
+            center=tree.get("center", self.state.center),
+        )
+        self.state = replicate(self.state, self.mesh)
+        self.start_epoch = int(metadata.get("epoch", 0))
+        self.best_val_loss = float(metadata.get("best_val_loss", math.inf))
+        logger.info("Resuming from epoch %d.", self.start_epoch + 1)
+
+    def _vizualize(self):
+        self.history.vizualize(self.num_epochs)
+
+    # -- helpers -------------------------------------------------------------------
+    def _put(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    @staticmethod
+    def _fetch(scalars) -> Dict[str, np.ndarray]:
+        return jax.device_get(scalars)

@@ -1,0 +1,166 @@
+"""Supervised / finetune trainer.
+
+Parity with `/root/reference/utils/trainers/supervised_trainer.py`:
+CE loss, per-sample-weighted epoch loss, accuracy/F1/etc. from collected
+predictions, best checkpoint keyed on **val accuracy**, optional backbone
+unfreeze + optimizer rebuild at ``freeze_backbone_epochs``, and automatic
+supervised evaluation every ``eval.interval`` epochs with precomputed
+predictions passed through.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ...models.builder import (
+    all_trainable_mask,
+    check_loaded_model,
+    freeze_backbone_mask,
+    load_weights,
+)
+from ...train.state import make_optimizer
+from ...train.steps import make_supervised_steps
+from .base import BaseTrainer
+
+logger = logging.getLogger(__name__)
+
+
+class SupervisedTrainer(BaseTrainer):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.freeze_backbone = bool(
+            self.config["training"].get("freeze_backbone", False)
+        )
+        self.freeze_backbone_epochs = self.config.get(
+            "freeze_backbone_epochs", math.inf
+        )
+        self.best_val_acc = -math.inf
+
+    # -- construction -----------------------------------------------------------
+    def _trainable_mask(self):
+        if not bool(self.config["training"].get("freeze_backbone", False)):
+            return None
+        # mask must be built against the param structure: defer via probe
+        init_rng = jax.random.PRNGKey(0)
+        trees = self.bundle.init_fn(init_rng)
+        logger.info("Freezing model backbone...")
+        return freeze_backbone_mask(trees["params"])
+
+    def _apply_pretrained(self, trees):
+        if self.bundle.pretrained is None:
+            return trees
+        pre = self.bundle.pretrained
+        extended = bool(self.config["training"].get("extended_transfer", False))
+        trees["params"] = load_weights(trees["params"], _merged_pre(pre), extended)
+        check_loaded_model(trees["params"], _merged_pre(pre))
+        return trees
+
+    def _build_steps(self):
+        self.train_step, self.eval_step = make_supervised_steps(self.model, self.tx)
+
+    # -- epochs -------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        outs = []
+        for idx, batch in enumerate(self.train_loader):
+            self.state, out = self.train_step(self.state, self._put(batch))
+            outs.append(out)
+            self.train_logger.train_log_step(epoch, idx)
+        return self._epoch_metrics(outs)
+
+    def validate(self) -> Tuple[Dict[str, float], np.ndarray, np.ndarray]:
+        outs = []
+        for idx, batch in enumerate(self.val_loader):
+            outs.append(self.eval_step(self.state, self._put(batch)))
+            self.train_logger.val_log_step(idx)
+        metrics, preds, labels = self._epoch_metrics(outs, return_preds=True)
+        return metrics, preds, labels
+
+    def _epoch_metrics(self, outs, return_preds: bool = False):
+        host = self._fetch(outs)
+        loss_sum = sum(o["loss"] * o["weight_sum"] for o in host)
+        weight_sum = sum(o["weight_sum"] for o in host)
+        preds = np.concatenate([o["preds"] for o in host])
+        labels = np.concatenate([o["labels"] for o in host])
+        real = np.concatenate([o["weight"] for o in host]) > 0
+        preds, labels = preds[real], labels[real]
+
+        metrics = self.metric_handler.calculate_metrics(
+            correct=int((preds == labels).sum()),
+            total=int(len(labels)),
+            y_pred=preds,
+            y_true=labels,
+        )
+        metrics["Loss"] = float(loss_sum) / max(float(weight_sum), 1.0)
+        if return_preds:
+            return metrics, preds, labels
+        return metrics
+
+    # -- fit (unfreeze + auto-eval, `supervised_trainer.py:82-118`) ---------------
+    def fit(self, num_epochs: int):
+        end_epoch = self.start_epoch + num_epochs
+        with self.train_logger:
+            for epoch in range(self.start_epoch + 1, end_epoch + 1):
+                self.current_epoch = epoch
+                if self.freeze_backbone and epoch == self.freeze_backbone_epochs:
+                    self._unfreeze_backbone()
+                train_metrics = self.train_epoch(epoch)
+                val_metrics, preds, labels = self.validate()
+                self._log_metrics(train_metrics, val_metrics)
+                self.history.update(train_metrics, val_metrics)
+                self._save_if_best(epoch, val_metrics["Accuracy"])
+                self._save_last(epoch)
+                if self.eval_interval and epoch % self.eval_interval == 0:
+                    logger.info("Running automatic evaluation...")
+                    from ...evaluators.supervised_evaluator import run_evaluation
+
+                    self.train_logger.pause()
+                    run_evaluation(
+                        self.config,
+                        bundle=self.bundle,
+                        state=self.state,
+                        save_path=os.path.join(self.save_path, f"epoch_{epoch}"),
+                        accuracy=val_metrics["Accuracy"],
+                        preds=preds,
+                        labels=labels,
+                    )
+                    self.train_logger.resume()
+        self._vizualize()
+
+    def _unfreeze_backbone(self):
+        """Optimizer rebuild on unfreeze (`supervised_trainer.py:88-90` —
+        the reference rebuilds the optimizer, dropping Adam moments; kept)."""
+        logger.info("Unfreezing backbone and rebuilding optimizer...")
+        params = self.state.params
+        self.tx = make_optimizer(
+            self.config, self.lr_schedule, all_trainable_mask(params)
+        )
+        self.state = self.state.replace(opt_state=self.tx.init(params))
+        self._build_steps()
+
+    def _save_if_best(self, epoch: int, val_accuracy: float):
+        if val_accuracy > self.best_val_acc:
+            self.best_val_acc = float(val_accuracy)
+            logger.info(
+                "New best validation accuracy: %.4f. Saving model...",
+                self.best_val_acc,
+            )
+            self._save("best_model", epoch, {"best_val_acc": self.best_val_acc})
+
+
+def _merged_pre(pre: Dict) -> Dict:
+    """Flatten a loaded checkpoint's trees into one params-like dict the
+    surgery rules understand (teacher/center become prefixed keys that the
+    skip rules recognise)."""
+    merged = dict(pre.get("params", {}))
+    if "teacher_params" in pre and pre["teacher_params"] is not None:
+        merged["teacher"] = pre["teacher_params"]
+    if "center" in pre and pre["center"] is not None:
+        merged["center"] = pre["center"]
+    return merged

@@ -1,0 +1,233 @@
+"""Checkpointing: Orbax pytrees + JSON metadata, and a torch ``.pth``
+importer for parity against reference checkpoints.
+
+Checkpoint surface parity with the reference
+(`/root/reference/utils/trainers/base_trainer.py:97-118`): each checkpoint
+is ``{epoch, model_state, optimizer_state, best_*, config}``, written as
+``best_model`` / ``last_model``. The config is embedded (load-bearing: the
+visualizers rebuild models from it —
+`scripts/simmim_visualizer.py:59-62`). Orbax stores the array pytrees
+(sharding-aware, multi-host safe); epoch/best/config go in a JSON sidecar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_META_FILE = "metadata.json"
+_TREE_DIR = "tree"
+
+
+def save_checkpoint(path: str, tree: Any, metadata: Dict[str, Any]) -> None:
+    """Atomic-ish save: write to <path>.tmp then swap."""
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ocp.PyTreeCheckpointer().save(
+        os.path.join(os.path.abspath(tmp), _TREE_DIR), tree
+    )
+    with open(os.path.join(tmp, _META_FILE), "w") as f:
+        json.dump(metadata, f, indent=1, default=str)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(
+    path: str, template: Optional[Any] = None
+) -> Tuple[Any, Dict[str, Any]]:
+    """Restore (tree, metadata). With ``template``, array dtypes/shardings
+    and pytree structure are validated against it."""
+    tree_path = os.path.join(os.path.abspath(path), _TREE_DIR)
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        tree = ckptr.restore(tree_path, item=template)
+    else:
+        tree = ckptr.restore(tree_path)
+    meta_path = os.path.join(path, _META_FILE)
+    metadata: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return tree, metadata
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.isdir(path) and os.path.exists(os.path.join(path, _META_FILE))
+
+
+# ---------------------------------------------------------------------------
+# torch .pth import (reference-checkpoint parity testing)
+# ---------------------------------------------------------------------------
+
+
+def _t(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x))
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference ``best_model.pth``-style checkpoint into numpy."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("model_state_dict", ckpt)
+    out = {}
+    for k, v in state.items():
+        # torch.compile prefixes
+        k = k.replace("_orig_mod.", "")
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _encoder_block_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """One reference EncoderBlock (`vit_core/encoder_block.py`) → our params."""
+    def lin_kernel(name):
+        return _t(sd[f"{prefix}.{name}.weight"]).T
+
+    return {
+        "self_attention": {
+            "w_query": {"kernel": lin_kernel("self_attention.w_query")},
+            "w_key": {"kernel": lin_kernel("self_attention.w_key")},
+            "w_value": {"kernel": lin_kernel("self_attention.w_value")},
+            "final_linear": {"kernel": lin_kernel("self_attention.final_linear")},
+        },
+        "feed_forward": {
+            "w1": lin_kernel("feed_forward.linear_in"),
+            "b1": _t(sd[f"{prefix}.feed_forward.linear_in.bias"]),
+            "w2": lin_kernel("feed_forward.linear_out"),
+            "b2": _t(sd[f"{prefix}.feed_forward.linear_out.bias"]),
+        },
+        "layer_norm1": {
+            "scale": _t(sd[f"{prefix}.layer_norm1.weight"]),
+            "bias": _t(sd[f"{prefix}.layer_norm1.bias"]),
+        },
+        "layer_norm2": {
+            "scale": _t(sd[f"{prefix}.layer_norm2.weight"]),
+            "bias": _t(sd[f"{prefix}.layer_norm2.bias"]),
+        },
+    }
+
+
+def _count_blocks(sd: Dict[str, np.ndarray], prefix: str = "encoder_blocks") -> int:
+    idxs = set()
+    for k in sd:
+        if f"{prefix}." in k:
+            after = k.split(f"{prefix}.")[1]
+            idxs.add(int(after.split(".")[0]))
+    return max(idxs) + 1 if idxs else 0
+
+
+def vit_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference supervised ViT state_dict → our flax params."""
+    params = {
+        "patch_embedding": {
+            "conv": {
+                "kernel": _t(sd["patch_embedding.conv.weight"]).transpose(2, 3, 1, 0),
+                "bias": _t(sd["patch_embedding.conv.bias"]),
+            },
+            "cls_token": _t(sd["patch_embedding.cls_token"]),
+            "positional_embedding": _t(sd["patch_embedding.positional_embedding"]),
+        },
+        "classification_head": {
+            "norm": {
+                "scale": _t(sd["classification_head.norm.weight"]),
+                "bias": _t(sd["classification_head.norm.bias"]),
+            },
+            "linear": {
+                "kernel": _t(sd["classification_head.linear.weight"]).T,
+                "bias": _t(sd["classification_head.linear.bias"]),
+            },
+        },
+    }
+    for i in range(_count_blocks(sd)):
+        params[f"encoder_blocks_{i}"] = _encoder_block_from_torch(
+            sd, f"encoder_blocks.{i}"
+        )
+    return params
+
+
+def simmim_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict:
+    params = {
+        "projection": {
+            "kernel": _t(sd["projection.weight"]).T,
+            "bias": _t(sd["projection.bias"]),
+        },
+        "mask_token": _t(sd["mask_token"]),
+        "positional_embedding": _t(sd["positional_embedding"]),
+        "simmim_head": {
+            "kernel": _t(sd["simmim_head.weight"]).T,
+            "bias": _t(sd["simmim_head.bias"]),
+        },
+    }
+    for i in range(_count_blocks(sd)):
+        params[f"encoder_blocks_{i}"] = _encoder_block_from_torch(
+            sd, f"encoder_blocks.{i}"
+        )
+    return params
+
+
+def _dino_backbone_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    out = {
+        "patch_embedding": {
+            "proj": {
+                "kernel": _t(sd[f"{prefix}.patch_embedding.proj.weight"]).transpose(
+                    2, 3, 1, 0
+                ),
+                "bias": _t(sd[f"{prefix}.patch_embedding.proj.bias"]),
+            },
+            "cls_token": _t(sd[f"{prefix}.patch_embedding.cls_token"]),
+            "positional_embedding": _t(
+                sd[f"{prefix}.patch_embedding.positional_embedding"]
+            ),
+        }
+    }
+    for i in range(_count_blocks(sd, f"{prefix}.encoder_blocks")):
+        out[f"encoder_blocks_{i}"] = _encoder_block_from_torch(
+            sd, f"{prefix}.encoder_blocks.{i}"
+        )
+    return out
+
+
+def _dino_head_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    def lin(name):
+        return {
+            "kernel": _t(sd[f"{prefix}.mlp.{name}.weight"]).T,
+            "bias": _t(sd[f"{prefix}.mlp.{name}.bias"]),
+        }
+
+    return {
+        "mlp_0": lin("0"),
+        "mlp_2": lin("2"),
+        "mlp_4": lin("4"),
+        "fully_connected": {
+            # torch weight_norm: original0 = g (out, 1), original1 = v (out, in)
+            "g": _t(sd[f"{prefix}.fully_connected.parametrizations.weight.original0"])[
+                :, 0
+            ],
+            "v": _t(
+                sd[f"{prefix}.fully_connected.parametrizations.weight.original1"]
+            ).T,
+            "bias": _t(sd[f"{prefix}.fully_connected.bias"]),
+        },
+    }
+
+
+def dino_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference DINOViT state_dict → {student, teacher, center} pytrees."""
+    return {
+        "student": {
+            "backbone": _dino_backbone_from_torch(sd, "student_backbone"),
+            "head": _dino_head_from_torch(sd, "student_head"),
+        },
+        "teacher": {
+            "backbone": _dino_backbone_from_torch(sd, "teacher_backbone"),
+            "head": _dino_head_from_torch(sd, "teacher_head"),
+        },
+        "center": _t(sd["center"]),
+    }

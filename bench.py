@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark: DINO ViT-S multi-crop pretrain throughput (images/sec/chip).
+
+Measures our fully-compiled DINO train step at the reference's shipped
+config (`/root/reference/configs/dino/*.yaml`: ViT-S d=384, 6 blocks,
+patch 8, 96px globals / 48px locals, 6 views, output_dim 16384, batch 128)
+on the available accelerator, and the PyTorch reference's eager train-step
+on CPU (the baseline hardware — the reference has no TPU path), by
+importing the read-only reference package as the oracle when present.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Usage: python bench.py [--quick] [--mode dino] [--batch 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REFERENCE_PATH = "/root/reference"
+
+VIT_S = dict(
+    embed_dim=384, num_blocks=6, num_heads=6, mlp_dim=1536,
+    patch=8, img=96, local_img=48, output_dim=16384, ng=2, na=6,
+)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_ours(batch: int, warmup: int, iters: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vit_ssl_tpu.models import DINONetwork
+    from vit_ssl_tpu.parallel import create_mesh, replicate, shard_batch
+    from vit_ssl_tpu.train.state import create_train_state
+    from vit_ssl_tpu.train.steps import make_dino_steps
+
+    cfg = VIT_S
+    log(f"[ours] backend={jax.default_backend()} devices={jax.device_count()}")
+
+    # The axon tunnel pays a ~6-minute one-time device->host channel
+    # initialisation on the first transfer; trigger it now on a background
+    # thread so it overlaps compilation instead of stalling the first
+    # metric fetch.
+    d2h_warmup = threading.Thread(
+        target=lambda: float(jnp.zeros(())), daemon=True
+    )
+    d2h_warmup.start()
+
+    model = DINONetwork(
+        num_blocks=cfg["num_blocks"],
+        input_shape=(3, cfg["img"], cfg["img"]),
+        embed_dim=cfg["embed_dim"],
+        patch_size=cfg["patch"],
+        num_heads=cfg["num_heads"],
+        mlp_dim=cfg["mlp_dim"],
+        dropout=0.1,
+        output_dim=cfg["output_dim"],
+        dtype=jnp.bfloat16,
+        use_flash=False,  # XLA wins at ViT-S scale (see configs/base/model.yaml)
+        use_fused_mlp=False,
+    )
+    rng = jax.random.PRNGKey(0)
+    mesh = create_mesh(-1)
+    dummy = jnp.zeros((1, cfg["img"], cfg["img"], 3))
+    student = model.init(rng, dummy)["params"]
+    teacher = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), student)
+    center = jnp.zeros((1, cfg["output_dim"]), jnp.float32)
+    tx = optax.adamw(1e-4, weight_decay=1e-3)
+    state = create_train_state(student, tx, rng, teacher_params=teacher, center=center)
+    state = replicate(state, mesh)
+
+    train_step, _ = make_dino_steps(
+        model, tx, num_global_views=cfg["ng"], num_all_views=cfg["na"],
+        student_temp=0.1, center_momentum=0.9,
+    )
+
+    rs = np.random.RandomState(0)
+    views = tuple(
+        rs.randn(batch, *( (cfg["img"],) * 2 if v < cfg["ng"] else (cfg["local_img"],) * 2 ), 3)
+        .astype(np.float32)
+        for v in range(cfg["na"])
+    )
+    batch_dict = shard_batch({"views": views, "weight": np.ones((batch,), np.float32)}, mesh)
+    t_temp, t_mom = jnp.float32(0.04), jnp.float32(0.996)
+
+    t0 = time.perf_counter()
+    for _ in range(warmup):
+        state, out = train_step(state, batch_dict, t_temp, t_mom)
+    jax.block_until_ready(out["loss"])
+    log(f"[ours] compile+warmup: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, out = train_step(state, batch_dict, t_temp, t_mom)
+    jax.block_until_ready(out["loss"])
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    d2h_warmup.join()
+    log(f"[ours] {iters} steps in {dt:.2f}s -> {ips:.1f} images/sec/chip "
+        f"(loss={float(out['loss']):.4f})")
+    return ips
+
+
+BASELINE_CACHE = Path(__file__).resolve().parent / "BENCH_BASELINE_CACHE.json"
+
+
+def bench_reference_cpu(batch: int, iters: int, use_cache: bool = True) -> float:
+    """Eager PyTorch reference on CPU — imported read-only as the oracle.
+    The measurement is cached (it is a property of the fixed CPU baseline,
+    not of our code) so later rounds don't re-pay it."""
+    if use_cache and BASELINE_CACHE.exists():
+        cached = json.loads(BASELINE_CACHE.read_text())
+        log(f"[baseline torch-cpu] cached: {cached['images_per_sec']} images/sec "
+            f"(measured {cached.get('note', '')})")
+        return float(cached["images_per_sec"])
+    if not Path(REFERENCE_PATH).exists():
+        log("[baseline] /root/reference not present — skipping")
+        return float("nan")
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        import torch
+
+        from vit_core.ssl.dino.model import DINOViT
+        from vit_core.ssl.dino.loss import DINOLoss
+
+        cfg = VIT_S
+        torch.manual_seed(0)
+        model = DINOViT(
+            num_blocks=cfg["num_blocks"],
+            input_shape=(3, cfg["img"], cfg["img"]),
+            embed_dim=cfg["embed_dim"],
+            patch_size=cfg["patch"],
+            num_heads=cfg["num_heads"],
+            mlp_dim=cfg["mlp_dim"],
+            dropout=0.1,
+            output_dim=cfg["output_dim"],
+            center_momentum=0.9,
+        )
+        model.train()
+        criterion = DINOLoss(0.04, 0.1)
+        params = [p for p in model.parameters() if p.requires_grad]
+        opt = torch.optim.AdamW(params, lr=1e-4, weight_decay=1e-3)
+
+        views = [
+            torch.randn(batch, 3, cfg["img"], cfg["img"]) if v < cfg["ng"]
+            else torch.randn(batch, 3, cfg["local_img"], cfg["local_img"])
+            for v in range(cfg["na"])
+        ]
+
+        def step():
+            opt.zero_grad(set_to_none=True)
+            teacher_out, student_out = model(views, cfg["ng"])
+            t = teacher_out.view(cfg["ng"], batch, -1)
+            s = student_out.view(cfg["na"], batch, -1)
+            loss = criterion(t, s, model.center)
+            loss.backward()
+            opt.step()
+            model.momentum_update_teacher(0.996)
+            return float(loss)
+
+        step()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            step()
+        dt = time.perf_counter() - t0
+        ips = batch * iters / dt
+        log(f"[baseline torch-cpu] {iters} steps of batch {batch} in {dt:.2f}s "
+            f"-> {ips:.2f} images/sec")
+        BASELINE_CACHE.write_text(json.dumps({
+            "images_per_sec": round(ips, 3),
+            "note": f"reference DINOViT ViT-S eager train step, batch {batch}, "
+                    f"{os.cpu_count()} CPUs",
+        }))
+        return ips
+    except Exception as e:  # pragma: no cover
+        log(f"[baseline] failed: {type(e).__name__}: {e}")
+        return float("nan")
+    finally:
+        sys.path.remove(REFERENCE_PATH)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--baseline-batch", type=int, default=8)
+    parser.add_argument("--skip-baseline", action="store_true")
+    args = parser.parse_args(argv)
+
+    warmup, iters = (1, 3) if args.quick else (3, 10)
+    base_iters = 2 if args.quick else 3
+
+    ours = bench_ours(args.batch, warmup, iters)
+    if args.skip_baseline:
+        baseline = float("nan")
+    else:
+        baseline = bench_reference_cpu(args.baseline_batch, base_iters)
+
+    vs = (ours / baseline) if baseline == baseline and baseline > 0 else None
+    result = {
+        "metric": "dino_vit_s_pretrain_throughput",
+        "value": round(ours, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4d): data-parallel steps must be numerically equivalent to
+single-device execution, and the DINO center update must be a *global*
+mean across shards (the collective the reference never had).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vit_ssl_tpu.models import DINONetwork, ViT, update_center
+from vit_ssl_tpu.parallel import create_mesh, replicate, shard_batch
+from vit_ssl_tpu.train.state import create_train_state
+from vit_ssl_tpu.train.steps import make_dino_steps, make_supervised_steps
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return create_mesh(8)
+
+
+def _supervised_setup():
+    model = ViT(
+        num_classes=4, num_blocks=2, input_shape=(3, 16, 16), embed_dim=32,
+        patch_size=8, num_heads=4, mlp_dim=64, dropout=0.0,
+        use_flash=False, use_fused_mlp=False,
+    )
+    tx = optax.adamw(1e-3)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 16, 16, 3)))["params"]
+    return model, tx, params, rng
+
+
+def _batch(b=16):
+    rs = np.random.RandomState(0)
+    return {
+        "image": rs.randn(b, 16, 16, 3).astype(np.float32),
+        "label": rs.randint(0, 4, size=(b,)).astype(np.int32),
+        "weight": np.ones((b,), np.float32),
+    }
+
+
+def test_supervised_step_sharded_equals_single(mesh8):
+    model, tx, params, rng = _supervised_setup()
+    batch = _batch()
+
+    # single device
+    state1 = create_train_state(params, tx, rng)
+    train_step, _ = make_supervised_steps(model, tx, donate=False)
+    s1, out1 = train_step(state1, jax.device_put(batch))
+
+    # 8-way data parallel
+    state8 = replicate(create_train_state(params, tx, rng), mesh8)
+    s8, out8 = train_step(state8, shard_batch(batch, mesh8))
+
+    np.testing.assert_allclose(float(out1["loss"]), float(out8["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_batch_actually_sharded(mesh8):
+    batch = shard_batch(_batch(16), mesh8)
+    sharding = batch["image"].sharding
+    assert sharding.is_fully_replicated is False
+    # each device holds 2 of 16 rows
+    shard_shapes = {s.data.shape for s in batch["image"].addressable_shards}
+    assert shard_shapes == {(2, 16, 16, 3)}
+
+
+def test_dino_center_update_is_global_mean(mesh8):
+    """Per-shard teacher outputs differ; the EMA update must use the mean
+    over the GLOBAL batch (XLA inserts the collective under jit)."""
+    k = 8
+    teacher_out = np.arange(16 * k, dtype=np.float32).reshape(16, k)
+    center = np.zeros((1, k), np.float32)
+
+    sharded = jax.device_put(
+        teacher_out, jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec("data"))
+    )
+    new_center = jax.jit(update_center, static_argnums=2)(
+        jnp.asarray(center), sharded, 0.9
+    )
+    expected = 0.1 * teacher_out.mean(axis=0, keepdims=True)
+    np.testing.assert_allclose(np.asarray(new_center), expected, rtol=1e-6)
+
+
+def test_dino_step_runs_sharded(mesh8):
+    model = DINONetwork(
+        num_blocks=2, input_shape=(3, 16, 16), embed_dim=32, patch_size=8,
+        num_heads=4, mlp_dim=64, dropout=0.0, output_dim=32,
+        use_flash=False, use_fused_mlp=False,
+    )
+    rng = jax.random.PRNGKey(0)
+    student = model.init(rng, jnp.zeros((1, 16, 16, 3)))["params"]
+    teacher = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), student)
+    tx = optax.adamw(1e-3)
+    state = create_train_state(
+        student, tx, rng, teacher_params=teacher, center=jnp.zeros((1, 32))
+    )
+    state = replicate(state, mesh8)
+
+    train_step, eval_step = make_dino_steps(
+        model, tx, num_global_views=2, num_all_views=4,
+        student_temp=0.1, center_momentum=0.9, donate=False,
+    )
+    rs = np.random.RandomState(0)
+    batch = shard_batch(
+        {
+            "views": tuple(
+                rs.randn(16, 16 if v < 2 else 8, 16 if v < 2 else 8, 3).astype(np.float32)
+                for v in range(4)
+            ),
+            "weight": np.ones((16,), np.float32),
+        },
+        mesh8,
+    )
+    state, out = train_step(state, batch, jnp.float32(0.04), jnp.float32(0.996))
+    assert np.isfinite(float(out["loss"]))
+    state, out2 = eval_step(state, batch, jnp.float32(0.04))
+    assert np.isfinite(float(out2["loss"]))
+    # teacher moved toward student, center moved off zero
+    assert float(jnp.linalg.norm(state.center)) > 0

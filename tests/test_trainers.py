@@ -1,0 +1,131 @@
+"""Trainer smoke tests on synthetic data through the real train.py CLI
+surface (SURVEY.md §4c), plus checkpoint best/last policy and resume.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from make_synthetic_data import make
+
+import train as train_cli
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    return make(str(tmp_path_factory.mktemp("synth")), n=24, size=32, num_classes=3)
+
+
+def _common(data_root, run_dir, extra=()):
+    return [
+        "data.img_size=16",
+        "data.num_workers=0",
+        "model.embed_dim=32",
+        "model.num_heads=4",
+        "model.num_blocks=1",
+        "model.mlp_dim=64",
+        "model.patch_size=8",
+        "model.use_flash_attention=false",
+        "model.use_fused_mlp=false",
+        "training.num_epochs=1",
+        "training.batch_size=8",
+        "training.warmup_epochs=1",
+        "training.plain_logging=true",
+        "eval.interval=0",
+        f"hydra.run.dir={run_dir}",
+        *extra,
+    ]
+
+
+def test_supervised_trainer_end_to_end(data_root, tmp_path):
+    run_dir = str(tmp_path / "sup")
+    train_cli.main(
+        [
+            "--config-name", "supervised",
+            f"data.data_dir={data_root}/train_images",
+            f"data.data_csv={data_root}/train_labels.json",
+            "model.num_classes=3",
+            *_common(data_root, run_dir),
+        ]
+    )
+    assert os.path.isdir(os.path.join(run_dir, "best_model"))
+    assert os.path.isdir(os.path.join(run_dir, "last_model"))
+    meta = json.load(open(os.path.join(run_dir, "best_model", "metadata.json")))
+    assert meta["mode"] == "supervised"
+    assert "best_val_acc" in meta
+    assert meta["config"]["training"]["type"] == "supervised"
+    assert os.path.exists(os.path.join(run_dir, ".hydra", "config.yaml"))
+
+
+def test_simmim_trainer_end_to_end(data_root, tmp_path):
+    run_dir = str(tmp_path / "simmim")
+    train_cli.main(
+        [
+            "--config-name", "simmim",
+            f"data.data_dir={data_root}/unlabeled_images",
+            *_common(data_root, run_dir),
+        ]
+    )
+    meta = json.load(open(os.path.join(run_dir, "best_model", "metadata.json")))
+    assert "best_val_score" in meta  # SSIM + 0.01*PSNR policy
+
+
+def test_dino_trainer_end_to_end(data_root, tmp_path):
+    run_dir = str(tmp_path / "dino")
+    train_cli.main(
+        [
+            "--config-name", "dino",
+            f"data.data_dir={data_root}/unlabeled_images",
+            "data.local_img_size=8",
+            "model.output_dim=32",
+            "training.num_all_views=3",
+            "training.num_global_views=2",
+            *_common(data_root, run_dir),
+        ]
+    )
+    meta = json.load(open(os.path.join(run_dir, "best_model", "metadata.json")))
+    assert "best_val_score" in meta  # collapse-score policy
+
+
+def test_resume_continues_epoch_numbering(data_root, tmp_path, caplog):
+    run_dir = str(tmp_path / "resume")
+    args = [
+        "--config-name", "supervised",
+        f"data.data_dir={data_root}/train_images",
+        f"data.data_csv={data_root}/train_labels.json",
+        "model.num_classes=3",
+        *_common(data_root, run_dir),
+    ]
+    train_cli.main(args)
+    meta1 = json.load(open(os.path.join(run_dir, "last_model", "metadata.json")))
+    assert meta1["epoch"] == 1
+
+    train_cli.main(args + [f"training.resume_from_checkpoint={run_dir}/last_model"])
+    meta2 = json.load(open(os.path.join(run_dir, "last_model", "metadata.json")))
+    assert meta2["epoch"] == 2
+
+
+def test_finetune_from_simmim_checkpoint(data_root, tmp_path):
+    ssl_dir = str(tmp_path / "ssl")
+    train_cli.main(
+        [
+            "--config-name", "simmim",
+            f"data.data_dir={data_root}/unlabeled_images",
+            *_common(data_root, ssl_dir),
+        ]
+    )
+    ft_dir = str(tmp_path / "ft")
+    train_cli.main(
+        [
+            "--config-name", "finetune",
+            f"data.data_dir={data_root}/train_images",
+            f"data.data_csv={data_root}/train_labels.json",
+            "model.num_classes=3",
+            f"training.pretrained_path={ssl_dir}/best_model",
+            *_common(data_root, ft_dir),
+        ]
+    )
+    meta = json.load(open(os.path.join(ft_dir, "best_model", "metadata.json")))
+    assert meta["mode"] == "finetune"

@@ -44,7 +44,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),  # q @ k^T
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     s = s * scale
 
@@ -61,7 +60,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     o_ref[0] = (o / l).astype(o_ref.dtype)
 

@@ -64,7 +64,6 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
         w1_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
     o = jax.lax.dot_general(
@@ -72,7 +71,6 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
         w2_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -84,7 +82,6 @@ def _mlp_dropout_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, o_ref, *, 
         w1_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
     h = h * (m_ref[:].astype(jnp.float32) / keep_prob)
@@ -93,7 +90,6 @@ def _mlp_dropout_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, o_ref, *, 
         w2_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 

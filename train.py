@@ -101,6 +101,16 @@ def main(argv=None):
 
     import jax
 
+    # Multi-host (DCN-spanning) data parallelism: same mesh code over all
+    # processes' devices — the reference is single-process only (SURVEY §2.6)
+    if bool(config.get("parallel", {}).get("multihost", False)):
+        jax.distributed.initialize()
+        logger.info(
+            "Initialized multi-host: process %d/%d",
+            jax.process_index(),
+            jax.process_count(),
+        )
+
     logger.info(
         "JAX backend: %s (%d devices)", jax.default_backend(), jax.device_count()
     )

@@ -102,13 +102,33 @@ class BaseTrainer(ABC):
     def _apply_pretrained(self, trees):
         return trees
 
+    # -- profiling (SURVEY.md §5: absent in the reference; first-class here) ----
+    def _maybe_start_profile(self, epoch: int):
+        if not bool(self.config["training"].get("profile", False)):
+            return False
+        if epoch != self.start_epoch + 2 and not (
+            self.num_epochs == 1 and epoch == self.start_epoch + 1
+        ):
+            return False  # profile the 2nd epoch: past compilation
+        trace_dir = os.path.join(self.save_path, "profile")
+        logger.info("Capturing jax.profiler trace to %s", trace_dir)
+        jax.profiler.start_trace(trace_dir)
+        return True
+
+    @staticmethod
+    def _stop_profile(started: bool):
+        if started:
+            jax.profiler.stop_trace()
+
     # -- fit loop ---------------------------------------------------------------
     def fit(self, num_epochs: int):
         end_epoch = self.start_epoch + num_epochs
         with self.train_logger:
             for epoch in range(self.start_epoch + 1, end_epoch + 1):
                 self.current_epoch = epoch
+                profiling = self._maybe_start_profile(epoch)
                 train_metrics = self.train_epoch(epoch)
+                self._stop_profile(profiling)
                 val_metrics = self.validate()
                 self._log_metrics(train_metrics, val_metrics)
                 self.history.update(train_metrics, val_metrics)

@@ -100,7 +100,9 @@ class DINOTrainer(BaseTrainer):
         with self.train_logger:
             for epoch in range(self.start_epoch + 1, end_epoch + 1):
                 self.current_epoch = epoch
+                profiling = self._maybe_start_profile(epoch)
                 train_metrics = self.train_epoch(epoch)
+                self._stop_profile(profiling)
                 val_metrics = self.validate()
                 self._log_metrics(train_metrics, val_metrics)
                 self.history.update(train_metrics, val_metrics)

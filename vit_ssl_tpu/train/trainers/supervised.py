@@ -110,7 +110,9 @@ class SupervisedTrainer(BaseTrainer):
                 self.current_epoch = epoch
                 if self.freeze_backbone and epoch == self.freeze_backbone_epochs:
                     self._unfreeze_backbone()
+                profiling = self._maybe_start_profile(epoch)
                 train_metrics = self.train_epoch(epoch)
+                self._stop_profile(profiling)
                 val_metrics, preds, labels = self.validate()
                 self._log_metrics(train_metrics, val_metrics)
                 self.history.update(train_metrics, val_metrics)

@@ -50,6 +50,7 @@ def bench_ours(batch: int, warmup: int, iters: int) -> float:
     from vit_ssl_tpu.train.steps import make_dino_steps
 
     cfg = VIT_S
+    jax.config.update("jax_default_prng_impl", "rbg")
     log(f"[ours] backend={jax.default_backend()} devices={jax.device_count()}")
 
     # The axon tunnel pays a ~6-minute one-time device->host channel
@@ -84,18 +85,37 @@ def bench_ours(batch: int, warmup: int, iters: int) -> float:
     state = create_train_state(student, tx, rng, teacher_params=teacher, center=center)
     state = replicate(state, mesh)
 
+    # production input path: device-side multi-crop augmentation from one
+    # uint8 image tensor per batch (configs/dino/data.yaml device_augment)
+    from vit_ssl_tpu.data.device_augment import make_multicrop_fn
+
+    g_seq = [
+        {"name": "RandomResizedCrop", "params": {"size": cfg["img"], "scale": [0.5, 1.0]}},
+        {"name": "RandomHorizontalFlip", "params": {}},
+        {"name": "ColorJitter", "params": {"brightness": 0.4, "contrast": 0.4, "saturation": 0.2, "hue": 0.1}},
+        {"name": "RandomGrayscale", "params": {"p": 0.2}},
+        {"name": "GaussianBlur", "params": {"kernel_size": 7, "sigma": [0.1, 2.0]}},
+        {"name": "ToTensor"},
+    ]
+    l_seq = [
+        {"name": "RandomResizedCrop", "params": {"size": cfg["local_img"], "scale": [0.08, 0.4]}},
+        {"name": "RandomHorizontalFlip", "params": {}},
+        {"name": "ColorJitter", "params": {"brightness": 0.4, "contrast": 0.4, "saturation": 0.2, "hue": 0.1}},
+        {"name": "GaussianBlur", "params": {"kernel_size": 7, "sigma": [0.1, 2.0]}},
+        {"name": "ToTensor"},
+    ]
+    view_fn = make_multicrop_fn(g_seq, l_seq, cfg["ng"], cfg["na"])
+
     train_step, _ = make_dino_steps(
         model, tx, num_global_views=cfg["ng"], num_all_views=cfg["na"],
-        student_temp=0.1, center_momentum=0.9,
+        student_temp=0.1, center_momentum=0.9, view_fn=view_fn,
     )
 
     rs = np.random.RandomState(0)
-    views = tuple(
-        rs.randn(batch, *( (cfg["img"],) * 2 if v < cfg["ng"] else (cfg["local_img"],) * 2 ), 3)
-        .astype(np.float32)
-        for v in range(cfg["na"])
+    images = (rs.rand(batch, cfg["img"], cfg["img"], 3) * 255).astype(np.uint8)
+    batch_dict = shard_batch(
+        {"image": images, "weight": np.ones((batch,), np.float32)}, mesh
     )
-    batch_dict = shard_batch({"views": views, "weight": np.ones((batch,), np.float32)}, mesh)
     t_temp, t_mom = jnp.float32(0.04), jnp.float32(0.996)
 
     t0 = time.perf_counter()

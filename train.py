@@ -101,6 +101,12 @@ def main(argv=None):
 
     import jax
 
+    # rbg PRNG: ~30% faster DINO steps on TPU (dropout-bit generation is a
+    # real cost with threefry at ViT-S scale). Streams differ from threefry
+    # but have no parity obligation (the reference uses torch RNG).
+    rng_impl = str(config["training"].get("rng_impl", "rbg"))
+    jax.config.update("jax_default_prng_impl", rng_impl)
+
     # Multi-host (DCN-spanning) data parallelism: same mesh code over all
     # processes' devices — the reference is single-process only (SURVEY §2.6)
     if bool(config.get("parallel", {}).get("multihost", False)):

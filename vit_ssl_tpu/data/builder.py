@@ -57,6 +57,19 @@ def _get_dataset(config, mode: str, transforms: Dict):
 
     if mode in ["dino", "eval_dino"]:
         if dataset_name == "stl10":
+            if mode == "dino" and bool(
+                config.get("data", {}).get("device_augment", False)
+            ):
+                # device-side augmentation: host only decodes (and resizes
+                # to the base size); all views are generated on chip inside
+                # the train step, uint8 over the wire
+                from .transforms import Compose, Resize
+
+                img = int(config["data"]["img_size"])
+                base = Compose([Resize([img, img])])
+                dataset = STL10UnsupervisedDataset(data_dir, transform=base)
+                dataset.num_global_views = int(config.training.num_global_views)
+                return dataset, dataset
             dataset = STL10DINODataset(
                 data_dir,
                 transforms=transforms,

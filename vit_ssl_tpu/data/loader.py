@@ -36,19 +36,22 @@ def _collate(samples: List[Any], pad_to: int) -> Dict[str, np.ndarray]:
     while len(samples) < pad_to:
         samples.append(samples[0])
 
+    def stack(arrs):
+        out = np.stack(arrs)
+        # uint8 stays uint8: device-side pipelines convert on chip, cutting
+        # host->HBM traffic 4x
+        return out if out.dtype == np.uint8 else out.astype(np.float32)
+
     first = samples[0]
     if isinstance(first, tuple) and len(first) == 2:  # (image, label)
-        images = np.stack([s[0] for s in samples]).astype(np.float32)
+        images = stack([s[0] for s in samples])
         labels = np.asarray([s[1] for s in samples], dtype=np.int32)
         return {"image": images, "label": labels, "weight": weight}
     if isinstance(first, list):  # multi-crop views
         num_views = len(first)
-        views = [
-            np.stack([s[v] for s in samples]).astype(np.float32)
-            for v in range(num_views)
-        ]
+        views = [stack([s[v] for s in samples]) for v in range(num_views)]
         return {"views": views, "weight": weight}
-    images = np.stack(samples).astype(np.float32)
+    images = stack(samples)
     return {"image": images, "weight": weight}
 
 

@@ -201,6 +201,7 @@ def make_dino_steps(
     center_momentum: float,
     donate: bool = True,
     teacher_dropout: bool = True,
+    view_fn: Optional[Callable] = None,
 ):
     """Multi-crop self-distillation steps.
 
@@ -218,8 +219,16 @@ def make_dino_steps(
     ng, na = num_global_views, num_all_views
     nl = na - ng
 
+    def get_views(batch, rng):
+        """Host-augmented multi-crop views, or device-side generation from
+        raw uint8 images when ``view_fn`` is set (the whole augmentation
+        pipeline then fuses into this compiled step)."""
+        if view_fn is not None and "image" in batch:
+            return view_fn(rng, batch["image"])
+        return batch["views"]
+
     def outputs(params, teacher_params, center, batch, rngs, training: bool):
-        views = batch["views"]
+        views = get_views(batch, rngs["augment"])
         globals_x = jnp.concatenate(views[:ng], axis=0)
         locals_x = jnp.concatenate(views[ng:], axis=0) if nl > 0 else None
         b = views[0].shape[0]
@@ -265,8 +274,9 @@ def make_dino_steps(
         )
 
     def train_step(state: TrainState, batch, teacher_temp, teacher_momentum):
-        rng_sg, rng_sl, rng_t = state.next_rng(3)
-        rngs = {"student_g": rng_sg, "student_l": rng_sl, "teacher": rng_t}
+        rng_sg, rng_sl, rng_t, rng_aug = state.next_rng(4)
+        rngs = {"student_g": rng_sg, "student_l": rng_sl, "teacher": rng_t,
+                "augment": rng_aug}
 
         def loss_fn(params):
             t, s, new_center = outputs(
@@ -292,7 +302,10 @@ def make_dino_steps(
         return new_state, {"loss": loss, "dino_stats": stats}
 
     def eval_step(state: TrainState, batch, teacher_temp):
-        rngs = {"student_g": None, "student_l": None, "teacher": None}
+        # fixed augmentation stream for validation reproducibility
+        (rng_aug,) = state.next_rng(1)
+        rngs = {"student_g": None, "student_l": None, "teacher": None,
+                "augment": rng_aug}
         t, s, new_center = outputs(
             state.params, state.teacher_params, state.center, batch, rngs, False
         )

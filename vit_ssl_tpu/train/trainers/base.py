@@ -63,6 +63,9 @@ class BaseTrainer(ABC):
         self.best_val_loss = math.inf
         self.current_epoch = 0
         self.start_epoch = 0
+        self._snapshot = None
+        self._snapshot_epoch = -1
+        self._save_thread = None
 
         self.state = self._init_state()
         self._build_steps()
@@ -135,6 +138,7 @@ class BaseTrainer(ABC):
                 self._save_if_best(epoch, val_metrics["Loss"])
                 self._save_last(epoch)
                 self._post_epoch_hook(epoch, train_metrics, val_metrics)
+            self._join_pending_save()
         self._vizualize()
 
     def _post_epoch_hook(self, epoch, train_metrics, val_metrics):
@@ -158,6 +162,10 @@ class BaseTrainer(ABC):
         return tree
 
     def _save(self, name: str, epoch: int, extra: Dict[str, Any]):
+        """Checkpoint write: one device→host snapshot per epoch (best and
+        last reuse it) and the file write happens on a background thread so
+        the next epoch's compute overlaps it. The reference blocks on
+        ``torch.save`` twice per epoch (`base_trainer.py:97-118`)."""
         os.makedirs(self.save_path, exist_ok=True)
         metadata = {
             "epoch": epoch,
@@ -165,7 +173,23 @@ class BaseTrainer(ABC):
             "mode": self.bundle.mode,
             **extra,
         }
-        save_checkpoint(os.path.join(self.save_path, name), self._state_tree(), metadata)
+        if self._snapshot_epoch != epoch:
+            self._snapshot = jax.device_get(self._state_tree())
+            self._snapshot_epoch = epoch
+        self._join_pending_save()
+        import threading
+
+        self._save_thread = threading.Thread(
+            target=save_checkpoint,
+            args=(os.path.join(self.save_path, name), self._snapshot, metadata),
+            daemon=True,
+        )
+        self._save_thread.start()
+
+    def _join_pending_save(self):
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
 
     def _save_if_best(self, epoch: int, val_loss: float):
         if self.best_val_loss >= val_loss:

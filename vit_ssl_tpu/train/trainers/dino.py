@@ -43,6 +43,19 @@ class DINOTrainer(BaseTrainer):
 
     def _build_steps(self):
         training = self.config.training
+        view_fn = None
+        if bool(self.config.get("data", {}).get("device_augment", False)):
+            from ...config import to_container
+            from ...data.device_augment import make_multicrop_fn
+
+            transforms = to_container(self.config["transforms"])
+            view_fn = make_multicrop_fn(
+                transforms["globals"],
+                transforms["locals"],
+                int(training.num_global_views),
+                int(training.num_all_views),
+            )
+            logger.info("Device-side multi-crop augmentation enabled")
         self.train_step, self.eval_step = make_dino_steps(
             self.model,
             self.tx,
@@ -50,6 +63,7 @@ class DINOTrainer(BaseTrainer):
             num_all_views=int(training.num_all_views),
             student_temp=float(training.student_temp),
             center_momentum=float(self.config.model.center_momentum),
+            view_fn=view_fn,
         )
 
     def _teacher_temp(self, epoch: int) -> float:
@@ -126,6 +140,7 @@ class DINOTrainer(BaseTrainer):
                         save_path=os.path.join(self.save_path, f"epoch_{epoch}"),
                     )
                     self.train_logger.resume()
+            self._join_pending_save()
         self._vizualize()
 
     def _save_if_best(self, epoch: int, val_metrics: Dict[str, float]):

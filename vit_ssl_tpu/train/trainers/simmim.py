@@ -103,6 +103,7 @@ class SimMIMTrainer(BaseTrainer):
                         save_path=os.path.join(self.save_path, f"epoch_{epoch}"),
                     )
                     self.train_logger.resume()
+            self._join_pending_save()
         self._vizualize()
 
     def _save_if_best(self, epoch: int, val_metrics: Dict[str, float]):

@@ -133,6 +133,7 @@ class SupervisedTrainer(BaseTrainer):
                         labels=labels,
                     )
                     self.train_logger.resume()
+            self._join_pending_save()
         self._vizualize()
 
     def _unfreeze_backbone(self):

@@ -140,3 +140,13 @@ def test_tilde_override_removes_key():
     cfg = compose(CONFIG_DIR, "supervised")
     apply_overrides(cfg, ["~eval.save_confusion_matrix"])
     assert "save_confusion_matrix" not in cfg.eval
+
+
+def test_vit_b_stretch_config_composes():
+    cfg = compose(CONFIG_DIR, "vit_b_imagenet")
+    assert cfg.model.embed_dim == 768
+    assert cfg.model.num_blocks == 12
+    assert cfg.data.dataset_name == "imagefolder"
+    assert cfg.parallel.remat is True
+    assert cfg.model.use_flash_attention is True
+    validate_train_config(cfg)

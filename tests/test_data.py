@@ -290,3 +290,34 @@ def test_prepare_dataloaders_dino(data_root):
     assert val_loader.dataset.num_global_views == 2
     batch = next(iter(train_loader))
     assert len(batch["views"]) == 4
+
+
+def test_imagefolder_dataset(tmp_path):
+    import os
+
+    from PIL import Image
+
+    from vit_ssl_tpu.data.datasets import ImageFolderDataset
+
+    for cls in ["cat", "dog"]:
+        os.makedirs(tmp_path / cls)
+        for i in range(3):
+            Image.fromarray(
+                np.full((16, 16, 3), 100 if cls == "cat" else 200, np.uint8)
+            ).save(tmp_path / cls / f"{i}.png")
+    ds = ImageFolderDataset(str(tmp_path), _tensor_pipeline(16))
+    assert len(ds) == 6
+    assert ds.classes == ["cat", "dog"]
+    img, label = ds.__getitem__(0, _rng())
+    assert img.shape == (16, 16, 3)
+    assert label in (0, 1)
+
+
+def test_loader_uint8_passthrough(data_root):
+    from vit_ssl_tpu.data.transforms import Compose, Resize
+
+    ds = STL10UnsupervisedDataset(
+        f"{data_root}/unlabeled_images", Compose([Resize([16, 16])])
+    )
+    batch = next(iter(DataLoader(ds, batch_size=4, num_workers=0)))
+    assert batch["image"].dtype == np.uint8  # device-augment contract

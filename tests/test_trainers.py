@@ -129,3 +129,35 @@ def test_finetune_from_simmim_checkpoint(data_root, tmp_path):
     )
     meta = json.load(open(os.path.join(ft_dir, "best_model", "metadata.json")))
     assert meta["mode"] == "finetune"
+
+
+def test_supervised_device_augment_end_to_end(data_root, tmp_path):
+    run_dir = str(tmp_path / "sup_dev")
+    train_cli.main(
+        [
+            "--config-name", "supervised",
+            f"data.data_dir={data_root}/train_images",
+            f"data.data_csv={data_root}/train_labels.json",
+            "model.num_classes=3",
+            "data.device_augment=true",
+            *_common(data_root, run_dir),
+        ]
+    )
+    assert os.path.isdir(os.path.join(run_dir, "best_model"))
+
+
+def test_dino_device_augment_end_to_end(data_root, tmp_path):
+    run_dir = str(tmp_path / "dino_dev")
+    train_cli.main(
+        [
+            "--config-name", "dino",
+            f"data.data_dir={data_root}/unlabeled_images",
+            "data.local_img_size=8",
+            "data.device_augment=true",
+            "model.output_dim=32",
+            "training.num_all_views=3",
+            "training.num_global_views=2",
+            *_common(data_root, run_dir),
+        ]
+    )
+    assert os.path.isdir(os.path.join(run_dir, "last_model"))

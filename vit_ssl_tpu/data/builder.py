@@ -18,6 +18,7 @@ import numpy as np
 from ..config import is_list
 from .datasets import (
     CIFAR10Dataset,
+    ImageFolderDataset,
     STL10Dataset,
     STL10DINODataset,
     STL10UnsupervisedDataset,
@@ -36,22 +37,41 @@ def _get_dataset(config, mode: str, transforms: Dict):
     data_dir = section.get("data_dir", config.get("data", {}).get("data_dir"))
     data_csv = section.get("data_csv", config.get("data", {}).get("data_csv"))
 
+    device_augment = "eval" not in mode and bool(
+        config.get("data", {}).get("device_augment", False)
+    )
+
+    def _raw_pipeline():
+        # host does decode + resize only; augmentation happens on device
+        from .transforms import Compose, Resize
+
+        img = int(config["data"]["img_size"])
+        return Compose([Resize([img, img])])
+
     if mode in ["supervised", "finetune", "eval_knn", "eval_linear", "eval_umap"]:
+        train_t = _raw_pipeline() if device_augment else transforms["train"]
+        val_t = transforms["val"] if not device_augment else _raw_pipeline()
         if dataset_name == "cifar10":
             return (
-                CIFAR10Dataset(data_csv, data_dir, transform=transforms["train"]),
-                CIFAR10Dataset(data_csv, data_dir, transform=transforms["val"]),
+                CIFAR10Dataset(data_csv, data_dir, transform=train_t),
+                CIFAR10Dataset(data_csv, data_dir, transform=val_t),
             )
         if dataset_name == "stl10":
             return (
-                STL10Dataset(data_csv, data_dir, transform=transforms["train"]),
-                STL10Dataset(data_csv, data_dir, transform=transforms["val"]),
+                STL10Dataset(data_csv, data_dir, transform=train_t),
+                STL10Dataset(data_csv, data_dir, transform=val_t),
+            )
+        if dataset_name in ("imagefolder", "imagenet"):
+            return (
+                ImageFolderDataset(data_dir, transform=train_t),
+                ImageFolderDataset(data_dir, transform=val_t),
             )
         raise ValueError(f"Unknown supervised/labeled dataset: {dataset_name}")
 
     if mode == "simmim":
         if dataset_name == "stl10":
-            dataset = STL10UnsupervisedDataset(data_dir, transform=transforms["train"])
+            train_t = _raw_pipeline() if device_augment else transforms["train"]
+            dataset = STL10UnsupervisedDataset(data_dir, transform=train_t)
             return dataset, dataset
         raise ValueError(f"Unknown unsupervised dataset: {dataset_name}")
 

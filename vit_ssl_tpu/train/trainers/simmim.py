@@ -38,7 +38,21 @@ class SimMIMTrainer(BaseTrainer):
             patch_size=int(self.config["model"]["patch_size"]),
             channels=int(self.config["model"]["in_channels"]),
             criterion=make_criterion(self.config),
+            augment_fn=self._device_augment_fn(),
         )
+
+    def _device_augment_fn(self):
+        if not bool(self.config.get("data", {}).get("device_augment", False)):
+            return None
+        from ...config import to_container
+        from ...data.device_augment import make_batch_augment_fn, supports_pipeline
+
+        seq = to_container(self.config["transforms"]["train"])
+        if not supports_pipeline(seq):
+            logger.warning("device_augment requested but pipeline unsupported")
+            return None
+        logger.info("Device-side train augmentation enabled")
+        return make_batch_augment_fn(seq)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)

@@ -62,7 +62,22 @@ class SupervisedTrainer(BaseTrainer):
         return trees
 
     def _build_steps(self):
-        self.train_step, self.eval_step = make_supervised_steps(self.model, self.tx)
+        self.train_step, self.eval_step = make_supervised_steps(
+            self.model, self.tx, augment_fn=self._device_augment_fn()
+        )
+
+    def _device_augment_fn(self):
+        if not bool(self.config.get("data", {}).get("device_augment", False)):
+            return None
+        from ...config import to_container
+        from ...data.device_augment import make_batch_augment_fn, supports_pipeline
+
+        seq = to_container(self.config["transforms"]["train"])
+        if not supports_pipeline(seq):
+            logger.warning("device_augment requested but pipeline unsupported")
+            return None
+        logger.info("Device-side train augmentation enabled")
+        return make_batch_augment_fn(seq)
 
     # -- epochs -------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:

@@ -321,3 +321,23 @@ def test_loader_uint8_passthrough(data_root):
     )
     batch = next(iter(DataLoader(ds, batch_size=4, num_workers=0)))
     assert batch["image"].dtype == np.uint8  # device-augment contract
+
+
+def test_decode_cache_hits(data_root, monkeypatch):
+    import vit_ssl_tpu.data.datasets as ds_mod
+
+    calls = {"n": 0}
+    real = ds_mod._load_image
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(ds_mod, "_load_image", counting)
+    ds = ds_mod.STL10UnsupervisedDataset(
+        f"{data_root}/unlabeled_images", _tensor_pipeline(16), cache=True
+    )
+    ds.__getitem__(0, _rng())
+    ds.__getitem__(0, _rng())
+    ds.__getitem__(1, _rng())
+    assert calls["n"] == 2  # second access to index 0 served from cache

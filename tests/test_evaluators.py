@@ -156,3 +156,30 @@ def test_precision_metric_returns_value():
         y_pred=np.array([0, 1, 1, 0]), y_true=np.array([0, 1, 0, 0])
     )
     assert val is not None and 0 <= val <= 1
+
+
+def test_ssim_identity_and_monotonicity():
+    import jax.numpy as jnp
+
+    from vit_ssl_tpu.utils.metrics import ssim_per_image
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(3, 16, 16, 3).astype(np.float32)
+    same = ssim_per_image(jnp.asarray(x), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(same), 1.0, atol=1e-4)
+
+    small_noise = np.clip(x + rs.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+    big_noise = np.clip(x + rs.normal(0, 0.3, x.shape), 0, 1).astype(np.float32)
+    s_small = float(np.mean(np.asarray(ssim_per_image(jnp.asarray(small_noise), jnp.asarray(x)))))
+    s_big = float(np.mean(np.asarray(ssim_per_image(jnp.asarray(big_noise), jnp.asarray(x)))))
+    assert 1.0 > s_small > s_big > -1.0
+
+
+def test_ssim_small_patch_kernel_shrinks():
+    import jax.numpy as jnp
+
+    from vit_ssl_tpu.utils.metrics import ssim_per_image
+
+    x = np.random.RandomState(0).rand(2, 4, 4, 3).astype(np.float32)
+    out = ssim_per_image(jnp.asarray(x), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-4)

@@ -40,6 +40,7 @@ def _get_dataset(config, mode: str, transforms: Dict):
     device_augment = "eval" not in mode and bool(
         config.get("data", {}).get("device_augment", False)
     )
+    cache = bool(config.get("data", {}).get("cache_decoded", False))
 
     def _raw_pipeline():
         # host does decode + resize only; augmentation happens on device
@@ -53,13 +54,13 @@ def _get_dataset(config, mode: str, transforms: Dict):
         val_t = transforms["val"] if not device_augment else _raw_pipeline()
         if dataset_name == "cifar10":
             return (
-                CIFAR10Dataset(data_csv, data_dir, transform=train_t),
-                CIFAR10Dataset(data_csv, data_dir, transform=val_t),
+                CIFAR10Dataset(data_csv, data_dir, transform=train_t, cache=cache),
+                CIFAR10Dataset(data_csv, data_dir, transform=val_t, cache=cache),
             )
         if dataset_name == "stl10":
             return (
-                STL10Dataset(data_csv, data_dir, transform=train_t),
-                STL10Dataset(data_csv, data_dir, transform=val_t),
+                STL10Dataset(data_csv, data_dir, transform=train_t, cache=cache),
+                STL10Dataset(data_csv, data_dir, transform=val_t, cache=cache),
             )
         if dataset_name in ("imagefolder", "imagenet"):
             return (
@@ -71,7 +72,7 @@ def _get_dataset(config, mode: str, transforms: Dict):
     if mode == "simmim":
         if dataset_name == "stl10":
             train_t = _raw_pipeline() if device_augment else transforms["train"]
-            dataset = STL10UnsupervisedDataset(data_dir, transform=train_t)
+            dataset = STL10UnsupervisedDataset(data_dir, transform=train_t, cache=cache)
             return dataset, dataset
         raise ValueError(f"Unknown unsupervised dataset: {dataset_name}")
 
@@ -87,7 +88,7 @@ def _get_dataset(config, mode: str, transforms: Dict):
 
                 img = int(config["data"]["img_size"])
                 base = Compose([Resize([img, img])])
-                dataset = STL10UnsupervisedDataset(data_dir, transform=base)
+                dataset = STL10UnsupervisedDataset(data_dir, transform=base, cache=cache)
                 dataset.num_global_views = int(config.training.num_global_views)
                 return dataset, dataset
             dataset = STL10DINODataset(

@@ -42,15 +42,39 @@ def _load_image(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+class _DecodeCache:
+    """Optional in-memory decoded-image cache (uint8 HWC arrays).
+
+    With device-side augmentation the per-sample host work is just
+    decode+resize, which repeats identically every epoch; caching removes
+    it entirely after epoch 1. Enable with ``data.cache_decoded: true``
+    (budget: raw uint8 bytes — STL10 unlabeled at 96px is ~2.6 GB)."""
+
+    def __init__(self, enabled: bool = False):
+        self.enabled = enabled
+        self._store: Dict[str, np.ndarray] = {}
+
+    def load(self, path: str) -> np.ndarray:
+        if not self.enabled:
+            return _load_image(path)
+        hit = self._store.get(path)
+        if hit is None:
+            hit = _load_image(path)
+            self._store[path] = hit
+        return hit
+
+
 class CIFAR10Dataset(Dataset):
     """CSV-indexed PNG folder (`datasets.py:11-32`): column 0 is the file
     stem, column 1 the class name; labels are indices into the sorted class
     list."""
 
-    def __init__(self, csv_file: str, root_dir: str, transform: Optional[Callable] = None):
+    def __init__(self, csv_file: str, root_dir: str, transform: Optional[Callable] = None,
+                 cache: bool = False):
         self.data = pd.read_csv(csv_file)
         self.root_dir = root_dir
         self.transform = transform
+        self._cache = _DecodeCache(cache)
         self.classes = sorted(self.data.iloc[:, 1].unique().tolist())
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
 
@@ -59,7 +83,7 @@ class CIFAR10Dataset(Dataset):
 
     def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
         name = str(self.data.iloc[idx, 0])
-        image = _load_image(os.path.join(self.root_dir, f"{name}.png"))
+        image = self._cache.load(os.path.join(self.root_dir, f"{name}.png"))
         label = self.class_to_idx[self.data.iloc[idx, 1]]
         if self.transform:
             image = self.transform(image, rng)
@@ -69,10 +93,12 @@ class CIFAR10Dataset(Dataset):
 class STL10Dataset(Dataset):
     """JSON-indexed labeled folder (`datasets.py:35-58`)."""
 
-    def __init__(self, json_file: str, root_dir: str, transform: Optional[Callable] = None):
+    def __init__(self, json_file: str, root_dir: str, transform: Optional[Callable] = None,
+                 cache: bool = False):
         self.data = pd.read_json(json_file)
         self.root_dir = root_dir
         self.transform = transform
+        self._cache = _DecodeCache(cache)
         self.classes = sorted(self.data.iloc[:, 1].unique().tolist())
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
 
@@ -81,7 +107,7 @@ class STL10Dataset(Dataset):
 
     def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
         name = str(self.data.iloc[idx, 0]).split("/")[-1]
-        image = _load_image(os.path.join(self.root_dir, name))
+        image = self._cache.load(os.path.join(self.root_dir, name))
         label = self.class_to_idx[self.data.iloc[idx, 1]]
         if self.transform:
             image = self.transform(image, rng)
@@ -91,16 +117,18 @@ class STL10Dataset(Dataset):
 class STL10UnsupervisedDataset(Dataset):
     """Sorted glob of ``*.png``, image-only (`datasets.py:61-77`)."""
 
-    def __init__(self, root_dir: str, transform: Optional[Callable] = None):
+    def __init__(self, root_dir: str, transform: Optional[Callable] = None,
+                 cache: bool = False):
         self.root_dir = root_dir
         self.transform = transform
         self.files = sorted(glob.glob(f"{root_dir}/*.png"))
+        self._cache = _DecodeCache(cache)
 
     def __len__(self):
         return len(self.files)
 
     def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
-        image = _load_image(self.files[idx])
+        image = self._cache.load(self.files[idx])
         if self.transform:
             image = self.transform(image, rng)
         return image
@@ -122,6 +150,7 @@ class STL10DINODataset(Dataset):
         self.files = sorted(glob.glob(f"{root_dir}/*.png"))
         self.num_all_views = num_all_views
         self._num_global_views = num_global_views
+        self._cache = _DecodeCache(False)
 
     @property
     def num_global_views(self) -> int:
@@ -131,8 +160,7 @@ class STL10DINODataset(Dataset):
         return len(self.files)
 
     def __getitem__(self, idx, rng: Optional[np.random.Generator] = None) -> List[np.ndarray]:
-        image = _load_image(self.files[idx])
-        arr = np.asarray(image)
+        arr = self._cache.load(self.files[idx])
         views = [
             self.transforms["globals"](arr, rng) for _ in range(self.num_global_views)
         ]

@@ -9,9 +9,8 @@ call site serves every trainer type. Differences by design:
   classes assemble host-side floats — no torcheval/ignite dependency;
 - the reference's ``Precision.compute`` is missing its ``return``
   (`metrics.py:246-256`, SURVEY.md §7 quirk list) — fixed here;
-- SSIM uses a gaussian window with *valid* padding (kernel auto-shrunk to
-  fit the patch); ignite reflect-pads instead, so absolute SSIM values
-  differ by a few 1e-3 — it is a monitoring metric, trend-compatible.
+- SSIM uses a gaussian window with reflect padding (ignite's scheme);
+  the window shrinks only for patches too small to reflect-pad.
 
 torch ``.std()/.var()`` are unbiased (ddof=1); replicated.
 """
@@ -58,17 +57,28 @@ def _gaussian_kernel(size: int, sigma: float):
 
 def ssim_per_image(preds, targets, kernel_size: int = 11, sigma: float = 1.5,
                    data_range: float = 1.0):
-    """Mean SSIM per image. preds/targets: (B, H, W, C) in [0, data_range]."""
+    """Mean SSIM per image. preds/targets: (B, H, W, C) in [0, data_range].
+
+    Gaussian window with reflect padding, matching ignite's SSIM scheme
+    (the reference's metric backend); kernel shrinks for images smaller
+    than ``(k+1)/2`` where reflect padding is undefined."""
     h = preds.shape[1]
-    k = min(kernel_size, h if h % 2 == 1 else h - 1)
-    k = max(k, 3)
+    k = kernel_size
+    if h < (k + 1) // 2 + 1:
+        k = max(3, (2 * h - 3) | 1)
     kern = _gaussian_kernel(k, sigma)
     c = preds.shape[-1]
     kern = jnp.broadcast_to(kern[:, :, None, None], (k, k, 1, c))
+    pad = (k - 1) // 2
 
     def filt(x):
-        return jax.lax.conv_general_dilated(
+        x = jnp.pad(
             x.astype(jnp.float32),
+            ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+            mode="reflect",
+        )
+        return jax.lax.conv_general_dilated(
+            x,
             kern,
             window_strides=(1, 1),
             padding="VALID",

@@ -231,6 +231,21 @@ class BaseTrainer(ABC):
     def _put(self, batch):
         return shard_batch(batch, self.mesh)
 
+    def _device_batches(self, loader):
+        """Double-buffered host→HBM prefetch: batch N+1's transfer is
+        dispatched while batch N's step runs (device_put is async), so the
+        accelerator never waits on the wire for steady-state batches."""
+        it = iter(loader)
+        try:
+            pending = self._put(next(it))
+        except StopIteration:
+            return
+        for batch in it:
+            nxt = self._put(batch)
+            yield pending
+            pending = nxt
+        yield pending
+
     @staticmethod
     def _fetch(scalars) -> Dict[str, np.ndarray]:
         return jax.device_get(scalars)

@@ -89,10 +89,8 @@ class DINOTrainer(BaseTrainer):
         t_temp = jnp.float32(self._teacher_temp(epoch))
         t_momentum = jnp.float32(self._teacher_momentum(epoch))
         outs = []
-        for idx, batch in enumerate(self.train_loader):
-            self.state, out = self.train_step(
-                self.state, self._put(batch), t_temp, t_momentum
-            )
+        for idx, batch in enumerate(self._device_batches(self.train_loader)):
+            self.state, out = self.train_step(self.state, batch, t_temp, t_momentum)
             outs.append(out)
             self.train_logger.train_log_step(epoch, idx)
         return self._epoch_metrics(outs)
@@ -100,8 +98,8 @@ class DINOTrainer(BaseTrainer):
     def validate(self) -> Dict[str, float]:
         t_temp = jnp.float32(self._teacher_temp(self.current_epoch))
         outs = []
-        for idx, batch in enumerate(self.val_loader):
-            self.state, out = self.eval_step(self.state, self._put(batch), t_temp)
+        for idx, batch in enumerate(self._device_batches(self.val_loader)):
+            self.state, out = self.eval_step(self.state, batch, t_temp)
             outs.append(out)
             self.train_logger.val_log_step(idx)
         return self._epoch_metrics(outs)

@@ -57,8 +57,8 @@ class SimMIMTrainer(BaseTrainer):
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
         outs = []
-        for idx, batch in enumerate(self.train_loader):
-            self.state, out = self.train_step(self.state, self._put(batch))
+        for idx, batch in enumerate(self._device_batches(self.train_loader)):
+            self.state, out = self.train_step(self.state, batch)
             outs.append(out)
             self.train_logger.train_log_step(epoch, idx)
         return self._epoch_metrics(outs)
@@ -68,9 +68,9 @@ class SimMIMTrainer(BaseTrainer):
         base_rng = jax.random.PRNGKey(
             int(self.config["training"].get("random_seed", 0)) + 1
         )
-        for idx, batch in enumerate(self.val_loader):
+        for idx, batch in enumerate(self._device_batches(self.val_loader)):
             mask_rng = jax.random.fold_in(base_rng, idx)
-            outs.append(self.eval_step(self.state, self._put(batch), mask_rng))
+            outs.append(self.eval_step(self.state, batch, mask_rng))
             self.train_logger.val_log_step(idx)
         return self._epoch_metrics(outs)
 

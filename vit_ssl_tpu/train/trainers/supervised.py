@@ -83,16 +83,16 @@ class SupervisedTrainer(BaseTrainer):
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
         outs = []
-        for idx, batch in enumerate(self.train_loader):
-            self.state, out = self.train_step(self.state, self._put(batch))
+        for idx, batch in enumerate(self._device_batches(self.train_loader)):
+            self.state, out = self.train_step(self.state, batch)
             outs.append(out)
             self.train_logger.train_log_step(epoch, idx)
         return self._epoch_metrics(outs)
 
     def validate(self) -> Tuple[Dict[str, float], np.ndarray, np.ndarray]:
         outs = []
-        for idx, batch in enumerate(self.val_loader):
-            outs.append(self.eval_step(self.state, self._put(batch)))
+        for idx, batch in enumerate(self._device_batches(self.val_loader)):
+            outs.append(self.eval_step(self.state, batch))
             self.train_logger.val_log_step(idx)
         metrics, preds, labels = self._epoch_metrics(outs, return_preds=True)
         return metrics, preds, labels

@@ -51,6 +51,13 @@ def bench_ours(batch: int, warmup: int, iters: int) -> float:
 
     cfg = VIT_S
     jax.config.update("jax_default_prng_impl", "rbg")
+    # persistent compile cache: repeat runs (the driver re-runs this file)
+    # skip the multi-minute remote Mosaic/XLA compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     log(f"[ours] backend={jax.default_backend()} devices={jax.device_count()}")
 
     # The axon tunnel pays a ~6-minute one-time device->host channel
@@ -72,7 +79,7 @@ def bench_ours(batch: int, warmup: int, iters: int) -> float:
         dropout=0.1,
         output_dim=cfg["output_dim"],
         dtype=jnp.bfloat16,
-        use_flash=False,  # XLA wins at ViT-S scale (see configs/base/model.yaml)
+        use_flash=jax.default_backend() == "tpu",  # grouped Pallas kernel (see configs/base/model.yaml)
         use_fused_mlp=False,
     )
     rng = jax.random.PRNGKey(0)

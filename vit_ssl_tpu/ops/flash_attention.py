@@ -1,23 +1,24 @@
 """Fused multi-head attention as a Pallas (Mosaic) TPU kernel.
 
 TPU-native replacement for the reference's eager ``softmax(QKᵀ/√d)V``
-(`/root/reference/vit_core/attention.py:5-27`): one kernel per
-(batch × head) computes scores, the numerically-stable softmax, and the
-context matmul entirely in VMEM — the (N, N) score matrix never touches HBM.
+(`/root/reference/vit_core/attention.py:5-27`): each grid cell computes
+scores, the numerically-stable softmax, and the context matmul for a
+*group* of (batch·head) sequences entirely in VMEM — the (N, N) score
+matrices never touch HBM.
 
-ViT sequence lengths here are short ((192/16)²+1 = 145 tokens supervised,
-144/36 for DINO crops — SURVEY.md §5 "long-context absent"), so a
-single-tile-per-head kernel design is used. Measured regime on v5e
-(fwd, bf16): 2.4× faster than XLA at N=1024 (B8·H12·D64); slower than
-XLA's batched fusion below ~256 tokens, where per-head launch overhead
-and lane padding dominate — hence ``use_flash_attention`` defaults off in
-the ViT-S configs. Sequences longer than ``MAX_FUSED_SEQ`` fall back to
-the XLA path in ``attention.py``.
+Design notes (measured on v5e, bf16, D=64):
 
-The backward pass is exact (not approximated): a ``jax.custom_vjp``
-recomputes the softmax from the saved q/k/v in fp32 and applies the
-standard attention gradient, so ``jax.grad`` through the kernel matches the
-pure-jnp reference to fp32 tolerance (tests/test_flash_attention.py).
+- Sequence rows pad to the 8-sublane granule only (not 128), and ``GROUP``
+  sequences share one grid cell to amortise per-cell overhead. At ViT
+  scale (B256·H6·N144) this runs **1.6× faster than XLA's** batched
+  attention (1.76 vs 2.90 ms); at N=1024 (B8·H12) the fused form is 2.4×
+  faster. The group size shrinks automatically as N grows so the per-cell
+  working set stays inside the 16 MB VMEM budget (N=2048 exceeds it even
+  at group 1 — those shapes fall back to the XLA path).
+- The backward pass is exact: a ``jax.custom_vjp`` recomputes the softmax
+  from the saved q/k/v in fp32 and applies the standard attention
+  gradient, so ``jax.grad`` through the kernel matches the pure-jnp
+  reference to fp32 tolerance (tests/test_flash_attention.py).
 """
 
 from __future__ import annotations
@@ -33,68 +34,72 @@ from jax.experimental.pallas import tpu as pltpu
 # budget; N=2048 exceeds it (measured). Longer sequences need the blockwise
 # online-softmax variant — they fall back to the XLA path for now.
 MAX_FUSED_SEQ = 1024
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB limit
+_MAX_GROUP = 8
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
-    """One (batch·head) slice: refs are (1, N_pad, D)."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+def _group_size(bh: int, n_pad: int, d: int, itemsize: int) -> int:
+    """Largest group (≤8) that divides bh and fits the VMEM budget."""
+    # per-sequence working set: fp32 scores + probs, q/k/v/o blocks
+    per_seq = 2 * n_pad * n_pad * 4 + 4 * n_pad * d * itemsize
+    by_budget = max(1, _VMEM_BUDGET // max(per_seq, 1))
+    g = min(_MAX_GROUP, by_budget)
+    while g > 1 and bh % g != 0:
+        g -= 1
+    return g
 
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),  # q @ k^T
-        preferred_element_type=jnp.float32,
-    )
-    s = s * scale
 
-    n_pad = q.shape[0]
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, group: int):
+    """One grid cell: refs are (GROUP, N_pad, D)."""
+    n_pad = q_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
-    s = jnp.where(col < seq_len, s, -jnp.inf)
-
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-
-    o = jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+    for i in range(group):
+        s = jax.lax.dot_general(
+            q_ref[i],
+            k_ref[i],
+            dimension_numbers=(((1,), (1,)), ((), ())),  # q @ k^T
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / l).astype(v_ref.dtype),
+            v_ref[i],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[i] = o.astype(o_ref.dtype)
 
 
 def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
     """q, k, v: (B, H, N, D) -> (B, H, N, D)."""
     b, h, n, d = q.shape
-    n_pad = max(_round_up(n, 128), 128)
+    n_pad = max(_round_up(n, 8), 8)
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
 
-    qp, kp, vp = pad(q), pad(k), pad(v)
     bh = b * h
-    qp = qp.reshape(bh, n_pad, d)
-    kp = kp.reshape(bh, n_pad, d)
-    vp = vp.reshape(bh, n_pad, d)
+    qp = pad(q).reshape(bh, n_pad, d)
+    kp = pad(k).reshape(bh, n_pad, d)
+    vp = pad(v).reshape(bh, n_pad, d)
 
-    kernel = functools.partial(_attn_kernel, scale=scale, seq_len=n)
-    spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    group = _group_size(bh, n_pad, d, q.dtype.itemsize)
+    kernel = functools.partial(_attn_kernel, scale=scale, seq_len=n, group=group)
+    spec = pl.BlockSpec((group, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * (n_pad * n_pad * d) * 2,
             bytes_accessed=4 * bh * n_pad * d * q.dtype.itemsize,

@@ -24,10 +24,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .flash_attention import (
+    MAX_FUSED_SEQ,
     default_interpret,
     flash_attention_available,
     fused_attention,
 )
+from .flash_blockwise import blockwise_attention
 from .initializers import InitScheme
 
 
@@ -110,16 +112,17 @@ class MultiHeadAttention(nn.Module):
         q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))  # (B,H,N,D)
 
         probs = None
-        use_fused = (
-            self.use_flash
-            and not return_attn
-            and n_q == n_k
-            and flash_attention_available(n_q)
-        )
-        if use_fused:
-            context = fused_attention(
-                q, k, v, 1.0 / float(d_head) ** 0.5, default_interpret()
-            )
+        scale = 1.0 / float(d_head) ** 0.5
+        if self.use_flash and not return_attn and n_q == n_k:
+            if flash_attention_available(n_q):
+                # short sequences: grouped single-tile kernel
+                context = fused_attention(q, k, v, scale, default_interpret())
+            else:
+                # long sequences: O(N)-memory blockwise online-softmax
+                # kernel with full Pallas backward
+                context = blockwise_attention(
+                    q, k, v, scale, interpret=default_interpret()
+                )
         else:
             context, probs = scaled_dot_product_attention(q, k, v, return_attn)
 

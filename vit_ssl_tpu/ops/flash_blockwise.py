@@ -1,0 +1,305 @@
+"""Blockwise flash attention (online softmax, O(N) memory) with a full
+Pallas backward pass.
+
+This is the long-sequence complement to the single-tile grouped kernel in
+:mod:`.flash_attention` (SURVEY.md §5: "sequence scaling comes from the
+Pallas flash-attention kernel (blockwise softmax, O(N) memory)"). The
+single-tile kernel needs the whole (N, N) score matrix in VMEM and tops
+out at N=1024; this variant streams key/value blocks with the standard
+online-softmax recurrence, so N is bounded by HBM, not VMEM.
+
+Forward: grid (batch·heads, q_blocks); an fori_loop over k blocks keeps
+running max ``m``, normaliser ``l``, and unnormalised accumulator in VMEM
+scratch; the log-sum-exp is written out for the backward.
+
+Backward (the standard two-kernel flash scheme):
+- ``delta = rowsum(dO · O)`` (tiny jnp reduction),
+- dK/dV kernel: grid over k blocks, streaming q blocks, recomputing
+  ``p_ij = exp(s_ij − lse_i)`` from the saved lse,
+- dQ kernel: grid over q blocks, streaming k blocks.
+
+All matmuls accumulate in fp32 on the MXU. Numerics are validated against
+the jnp reference (forward and gradients) in
+tests/test_flash_blockwise.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
+                *, scale, seq_len, block_k, num_k_blocks):
+    """Grid (BH, num_q_blocks). q_ref: (1, Bq, D); k/v_ref: (1, N_pad, D);
+    lse_ref: (1, N_pad) full row, written per-q-block slice (TPU block
+    shapes for the trailing dims must be (8, 128)-aligned or full)."""
+    q = q_ref[0]
+    bq, d = q.shape
+    qi = pl.program_id(1)
+
+    m_scr[:] = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l_scr[:] = jnp.zeros((bq, 1), jnp.float32)
+    acc[:] = jnp.zeros((bq, d), jnp.float32)
+
+    def body(j, _):
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (Bq, Bk)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < seq_len, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc[:] = acc[:] * correction + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+        return 0
+
+    jax.lax.fori_loop(0, num_k_blocks, body, 0)
+
+    l = jnp.maximum(l_scr[:], 1e-30)
+    o_ref[0] = (acc[:] / l).astype(o_ref.dtype)
+    lse_ref[0, 0, pl.ds(qi * bq, bq)] = (m_scr[:] + jnp.log(l))[:, 0]
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    b, h, n, d = q.shape
+    bq = min(block_q, _round_up(n, 8))
+    bk = min(block_k, _round_up(n, 8))
+    n_pad = _round_up(n, max(bq, bk))
+    bh = b * h
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0))).reshape(
+            bh, n_pad, d
+        )
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    num_q = n_pad // bq
+    num_k = n_pad // bk
+
+    q_spec = pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, n_pad, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM)
+    o_spec = q_spec
+    lse_spec = pl.BlockSpec((1, 1, n_pad), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, seq_len=n, block_k=bk, num_k_blocks=num_k
+        ),
+        grid=(bh, num_q),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=(o_spec, lse_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, n_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return (
+        out.reshape(b, h, n_pad, d)[:, :, :n, :],
+        lse.reshape(b, h, n_pad)[:, :, :n],
+        (qp, kp, vp, n_pad),
+    )
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                *, scale, seq_len, block_q, num_q_blocks):
+    """Grid (BH, num_k_blocks). k/v blocks resident; stream q/do blocks."""
+    k_blk = k_ref[0]   # (Bk, D)
+    v_blk = v_ref[0]
+    bk, d = k_blk.shape
+    kj = pl.program_id(1)
+
+    dk = jnp.zeros((bk, d), jnp.float32)
+    dv = jnp.zeros((bk, d), jnp.float32)
+
+    def body(i, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (Bq, Bk)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kj * bk
+        s = jnp.where(col < seq_len, s, NEG_INF)
+        p = jnp.exp(s - lse)  # (Bq, Bk)
+
+        dv = dv + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bq, Bk)
+        ds = p * (dp - delta) * scale
+        dk = dk + jax.lax.dot_general(
+            ds, q_blk.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk, dv))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               *, scale, seq_len, block_k, num_k_blocks):
+    """Grid (BH, num_q_blocks). q/do blocks resident; stream k/v blocks."""
+    q_blk = q_ref[0]
+    do_blk = do_ref[0].astype(jnp.float32)
+    bq, d = q_blk.shape
+    qi = pl.program_id(1)
+    lse = lse_ref[0, 0, pl.ds(qi * bq, bq)][:, None]
+    delta = delta_ref[0, 0, pl.ds(qi * bq, bq)][:, None]
+
+    def body(j, dq):
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < seq_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do_blk, v_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        return dq + jax.lax.dot_general(
+            ds, k_blk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(0, num_k_blocks, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd(res, do, scale, block_q, block_k, interpret):
+    q, k, v, o, lse = res
+    b, h, n, d = q.shape
+    bq = min(block_q, _round_up(n, 8))
+    bk = min(block_k, _round_up(n, 8))
+    n_pad = _round_up(n, max(bq, bk))
+    bh = b * h
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0))).reshape(
+            bh, n_pad, d
+        )
+
+    qp, kp, vp, dop = pad(q), pad(k), pad(v), pad(do)
+    # delta_i = rowsum(dO_i · O_i); lse padded with +inf -> p = 0 on pad rows
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, n_pad - n))).reshape(bh, 1, n_pad)
+    lse_p = jnp.pad(
+        lse, ((0, 0), (0, 0), (0, n_pad - n)), constant_values=jnp.inf
+    ).reshape(bh, 1, n_pad)
+
+    num_q = n_pad // bq
+    num_k = n_pad // bk
+
+    full_spec = pl.BlockSpec((1, n_pad, d), lambda i, b_: (i, 0, 0), memory_space=pltpu.VMEM)
+    full_vec = pl.BlockSpec((1, 1, n_pad), lambda i, b_: (i, 0, 0), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, bk, d), lambda i, kj: (i, kj, 0), memory_space=pltpu.VMEM)
+    dkv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, seq_len=n, block_q=bq, num_q_blocks=num_q
+        ),
+        grid=(bh, num_k),
+        in_specs=[full_spec, k_spec, k_spec, full_spec, full_vec, full_vec],
+        out_specs=(k_spec, k_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_p, delta)
+    dk, dv = dkv
+
+    q_spec = pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM)
+    q_vec = pl.BlockSpec((1, 1, n_pad), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, seq_len=n, block_k=bk, num_k_blocks=num_k
+        ),
+        grid=(bh, num_q),
+        in_specs=[q_spec, full_spec, full_spec, q_spec, q_vec, q_vec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_p, delta)
+
+    def unpad(x):
+        return x.reshape(b, h, n_pad, d)[:, :, :n, :]
+
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def blockwise_attention(q, k, v, scale: float, block_q: int = DEFAULT_BLOCK_Q,
+                        block_k: int = DEFAULT_BLOCK_K, interpret: bool = False):
+    """O(N)-memory flash attention. Shapes (B, H, N, D)."""
+    out, _, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _vjp_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, lse, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _vjp_bwd(scale, block_q, block_k, interpret, res, do):
+    return _flash_bwd(res, do, scale, block_q, block_k, interpret)
+
+
+blockwise_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def default_interpret() -> bool:
+    return jax.default_backend() != "tpu"

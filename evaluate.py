@@ -38,11 +38,12 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
-    from vit_ssl_tpu.config import compose
+    from vit_ssl_tpu.config import compose, validate_eval_config
 
     config = compose(args.config_path, args.config_name, args.overrides)
 
     if config.get("eval", {}).get("mode"):
+        validate_eval_config(config)
         from vit_ssl_tpu.evaluators.unsupervised_evaluator import run_evaluation
     else:
         from vit_ssl_tpu.evaluators.supervised_evaluator import run_evaluation

@@ -125,3 +125,72 @@ def test_dino_step_runs_sharded(mesh8):
     assert np.isfinite(float(out2["loss"]))
     # teacher moved toward student, center moved off zero
     assert float(jnp.linalg.norm(state.center)) > 0
+
+
+def test_tp_sharded_dino_step_matches_replicated(mesh8):
+    """dp×tp (2-D mesh) DINO step equals the replicated single-device step:
+    Megatron-style param sharding with XLA-inserted collectives."""
+    from vit_ssl_tpu.parallel import create_dp_tp_mesh, shard_params
+
+    model = DINONetwork(
+        num_blocks=1, input_shape=(3, 16, 16), embed_dim=32, patch_size=8,
+        num_heads=4, mlp_dim=64, dropout=0.0, output_dim=32,
+        use_flash=False, use_fused_mlp=False,
+    )
+    rng = jax.random.PRNGKey(0)
+    student = model.init(rng, jnp.zeros((1, 16, 16, 3)))["params"]
+    teacher = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), student)
+    tx = optax.adamw(1e-3)
+    rs = np.random.RandomState(0)
+    raw_batch = {
+        "views": tuple(
+            rs.randn(8, 16 if v < 2 else 8, 16 if v < 2 else 8, 3).astype(np.float32)
+            for v in range(3)
+        ),
+        "weight": np.ones((8,), np.float32),
+    }
+    train_step, _ = make_dino_steps(
+        model, tx, num_global_views=2, num_all_views=3,
+        student_temp=0.1, center_momentum=0.9, donate=False,
+    )
+
+    # single device
+    state1 = create_train_state(
+        student, tx, rng, teacher_params=teacher, center=jnp.zeros((1, 32))
+    )
+    s1, out1 = train_step(
+        state1, jax.device_put(raw_batch), jnp.float32(0.04), jnp.float32(0.996)
+    )
+
+    # dp=4 × tp=2
+    mesh = create_dp_tp_mesh(8, tp=2)
+    state2 = create_train_state(
+        shard_params(student, mesh), tx, rng,
+        teacher_params=shard_params(teacher, mesh),
+        center=jnp.zeros((1, 32)),
+    )
+    s2, out2 = train_step(
+        state2, shard_batch(raw_batch, mesh), jnp.float32(0.04), jnp.float32(0.996)
+    )
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tp_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from vit_ssl_tpu.parallel import tp_spec_for
+
+    assert tp_spec_for(("encoder_blocks_0", "feed_forward", "w1"), None) == P(None, "model")
+    assert tp_spec_for(("encoder_blocks_0", "feed_forward", "w2"), None) == P("model", None)
+    assert tp_spec_for(
+        ("encoder_blocks_0", "self_attention", "w_query", "kernel"), None
+    ) == P(None, "model")
+    assert tp_spec_for(
+        ("encoder_blocks_0", "self_attention", "final_linear", "kernel"), None
+    ) == P("model", None)
+    assert tp_spec_for(("head", "fully_connected", "v"), None) == P(None, "model")
+    assert tp_spec_for(("patch_embedding", "cls_token"), None) == P()

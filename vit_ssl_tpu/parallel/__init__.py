@@ -7,6 +7,12 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .sharding_rules import (
+    MODEL_AXIS,
+    create_dp_tp_mesh,
+    shard_params,
+    tp_spec_for,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -16,4 +22,8 @@ __all__ = [
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "MODEL_AXIS",
+    "create_dp_tp_mesh",
+    "shard_params",
+    "tp_spec_for",
 ]

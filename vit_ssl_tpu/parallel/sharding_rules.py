@@ -1,0 +1,123 @@
+"""Tensor-parallel parameter sharding rules for the ViT family.
+
+The reference has no model parallelism at all (SURVEY.md §2.6); at ViT-S
+scale data parallelism is sufficient. These rules exist for the scale-out
+path (ViT-B+/huge heads): a 2-D ``('data', 'model')`` mesh where parameters
+shard Megatron-style — column-parallel into the hidden dimension, row-
+parallel out of it — and XLA inserts the reduce/all-gather collectives.
+
+Layout per module (flax param path → PartitionSpec):
+
+- FFN: ``w1 (d, d_ff)`` → (None, 'model'); ``b1 (d_ff,)`` → ('model',);
+  ``w2 (d_ff, d)`` → ('model', None); ``b2`` replicated.
+- Attention: Q/K/V kernels ``(d, d)`` shard the *output* (head) dim →
+  (None, 'model'); the output projection shards its input dim →
+  ('model', None). Head count must divide the model axis.
+- DINO head: alternating column/row parallel through the MLP; the big
+  weight-norm output layer ``v (d, K)`` shards K (65536 at paper scale).
+- Embeddings, LayerNorms, CLS/pos tokens, biases of row-parallel layers:
+  replicated.
+
+``shard_params(params, mesh)`` applies the rules with
+``jax.lax.with_sharding_constraint``-free placement (device_put), so any
+already-initialised pytree can be resharded onto a mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+from flax import traverse_util
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MODEL_AXIS = "model"
+DATA_AXIS = "data"
+
+
+def tp_spec_for(path: Tuple[str, ...], value) -> P:
+    """PartitionSpec for one parameter given its flax path."""
+    name = path[-1]
+    joined = "/".join(path)
+
+    # attention projections
+    if "self_attention" in joined and name == "kernel":
+        if "final_linear" in joined:
+            return P(MODEL_AXIS, None)  # row-parallel out-projection
+        return P(None, MODEL_AXIS)  # column-parallel q/k/v
+
+    # encoder FFN (raw params w1/b1/w2/b2 — ops/feed_forward.py)
+    if name == "w1":
+        return P(None, MODEL_AXIS)
+    if name == "b1":
+        return P(MODEL_AXIS)
+    if name == "w2":
+        return P(MODEL_AXIS, None)
+    if name == "b2":
+        return P()
+
+    # DINO head MLP: alternate column/row parallel
+    if "mlp_0" in joined and name == "kernel":
+        return P(None, MODEL_AXIS)
+    if "mlp_0" in joined and name == "bias":
+        return P(MODEL_AXIS)
+    if "mlp_2" in joined and name == "kernel":
+        return P(MODEL_AXIS, None)
+    if "mlp_4" in joined and name == "kernel":
+        return P(None, MODEL_AXIS)
+    if "mlp_4" in joined and name == "bias":
+        return P(MODEL_AXIS)
+
+    # weight-norm output layer: shard the (huge) output dim
+    if "fully_connected" in joined:
+        if name == "v":
+            return P(None, MODEL_AXIS)
+        if name in ("g", "bias"):
+            return P(MODEL_AXIS)
+
+    # classification head
+    if "classification_head" in joined and name == "kernel":
+        return P(None, MODEL_AXIS)
+    if "classification_head" in joined and name == "bias":
+        return P(MODEL_AXIS)
+
+    # SimMIM reconstruction head
+    if "simmim_head" in joined and name == "kernel":
+        return P(None, MODEL_AXIS)
+    if "simmim_head" in joined and name == "bias":
+        return P(MODEL_AXIS)
+
+    # everything else (patch embed, LN, tokens, pos embeds): replicated
+    return P()
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param pytree on the mesh under the TP rules."""
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, value in flat.items():
+        spec = tp_spec_for(tuple(str(p) for p in path), value)
+        # drop axes that don't divide the dimension cleanly
+        fixed = []
+        for dim, axis in zip(value.shape, spec + (None,) * (value.ndim - len(spec))):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                axis = None
+            fixed.append(axis)
+        out[path] = jax.device_put(value, NamedSharding(mesh, P(*fixed)))
+    return traverse_util.unflatten_dict(out)
+
+
+def create_dp_tp_mesh(num_devices: int = -1, tp: int = 2) -> Mesh:
+    """2-D ('data', 'model') mesh: tp-way tensor parallel inside dp groups."""
+    import numpy as np
+
+    devices = jax.devices()
+    if num_devices is None or num_devices < 0:
+        num_devices = len(devices)
+    num_devices = min(num_devices, len(devices))
+    while tp > 1 and num_devices % tp != 0:
+        tp -= 1
+    dp = num_devices // tp
+    return Mesh(
+        np.asarray(devices[: dp * tp]).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS)
+    )

@@ -227,9 +227,8 @@ def load_weights(target_params, pretrained_params, extended: bool = False):
 
     if extended:
         out = _extended_transfer(out, src, tgt)
-    missing = [k for k in tgt if k not in used and np.shape(out[k]) == np.shape(tgt[k])]
-    logger.info("load_weights: %d/%d target tensors updated", len(used), len(tgt))
-    del missing
+    updated = sum(1 for k in tgt if out[k] is not tgt[k])
+    logger.info("load_weights: %d/%d target tensors updated", updated, len(tgt))
     return _unflat(out)
 
 

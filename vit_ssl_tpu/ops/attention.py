@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .flash_attention import (
-    MAX_FUSED_SEQ,
     default_interpret,
     flash_attention_available,
     fused_attention,

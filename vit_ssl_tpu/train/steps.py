@@ -19,14 +19,13 @@ whole epoch.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.dino import dino_loss, momentum_update, update_center
+from ..models.dino import momentum_update, update_center
 from ..models.simmim import masked_l1_loss
 from ..utils.metrics import dino_distribution_stats, psnr_stats, ssim_stats
 from .state import TrainState

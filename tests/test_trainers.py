@@ -161,3 +161,41 @@ def test_dino_device_augment_end_to_end(data_root, tmp_path):
         ]
     )
     assert os.path.isdir(os.path.join(run_dir, "last_model"))
+
+
+def test_resume_reproduces_continuous_training(data_root, tmp_path):
+    """1 epoch + resume + 1 epoch must equal 2 continuous epochs: the lr
+    schedule, PRNG streams, and optimizer state are all pure functions of
+    the restored step/state, and the loader reshuffles per epoch."""
+    import jax
+    import numpy as np
+
+    from vit_ssl_tpu.utils.checkpoint import load_checkpoint
+
+    base = [
+        "--config-name", "supervised",
+        f"data.data_dir={data_root}/train_images",
+        f"data.data_csv={data_root}/train_labels.json",
+        "model.num_classes=3",
+    ]
+
+    cont_dir = str(tmp_path / "cont")
+    args = _common(data_root, cont_dir, extra=["training.num_epochs=2"])
+    train_cli.main(base + args)
+    cont_tree, _ = load_checkpoint(os.path.join(cont_dir, "last_model"))
+
+    two_dir = str(tmp_path / "twostep")
+    args1 = _common(data_root, two_dir, extra=["training.num_epochs=1"])
+    train_cli.main(base + args1)
+    train_cli.main(
+        base
+        + args1
+        + [f"training.resume_from_checkpoint={two_dir}/last_model"]
+    )
+    resumed_tree, meta = load_checkpoint(os.path.join(two_dir, "last_model"))
+    assert meta["epoch"] == 2
+
+    flat_c = jax.tree_util.tree_leaves(cont_tree["params"])
+    flat_r = jax.tree_util.tree_leaves(resumed_tree["params"])
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -199,3 +199,81 @@ def test_resume_reproduces_continuous_training(data_root, tmp_path):
     flat_r = jax.tree_util.tree_leaves(resumed_tree["params"])
     for a, b in zip(flat_c, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_freeze_backbone_keeps_backbone_fixed(data_root, tmp_path):
+    """finetune with freeze_backbone: encoder/patch-embed params (except the
+    CLS token) must not move; the classification head must."""
+    import jax
+    import numpy as np
+
+    from vit_ssl_tpu.utils.checkpoint import load_checkpoint
+
+    ssl_dir = str(tmp_path / "ssl")
+    train_cli.main(
+        [
+            "--config-name", "simmim",
+            f"data.data_dir={data_root}/unlabeled_images",
+            *_common(data_root, ssl_dir),
+        ]
+    )
+    ft_dir = str(tmp_path / "ft_frozen")
+    train_cli.main(
+        [
+            "--config-name", "finetune",
+            f"data.data_dir={data_root}/train_images",
+            f"data.data_csv={data_root}/train_labels.json",
+            "model.num_classes=3",
+            f"training.pretrained_path={ssl_dir}/best_model",
+            "training.freeze_backbone=true",
+            *_common(data_root, ft_dir, extra=["training.num_epochs=2"]),
+        ]
+    )
+    ssl_tree, _ = load_checkpoint(os.path.join(ssl_dir, "best_model"))
+    ft_tree, _ = load_checkpoint(os.path.join(ft_dir, "last_model"))
+    # encoder weights were transferred and must be bit-identical after
+    # 2 epochs of frozen finetuning
+    np.testing.assert_array_equal(
+        np.asarray(ssl_tree["params"]["encoder_blocks_0"]["feed_forward"]["w1"]),
+        np.asarray(ft_tree["params"]["encoder_blocks_0"]["feed_forward"]["w1"]),
+    )
+    # the head trained
+    head = np.asarray(ft_tree["params"]["classification_head"]["linear"]["kernel"])
+    assert np.abs(head).sum() > 0
+
+
+def test_unfreeze_at_epoch_resumes_backbone_updates(data_root, tmp_path):
+    """freeze_backbone_epochs=N unfreezes the backbone and rebuilds the
+    optimizer at epoch N (`supervised_trainer.py:88-90` parity)."""
+    import numpy as np
+
+    from vit_ssl_tpu.utils.checkpoint import load_checkpoint
+
+    ssl_dir = str(tmp_path / "ssl2")
+    train_cli.main(
+        [
+            "--config-name", "simmim",
+            f"data.data_dir={data_root}/unlabeled_images",
+            *_common(data_root, ssl_dir),
+        ]
+    )
+    ft_dir = str(tmp_path / "ft_unfreeze")
+    train_cli.main(
+        [
+            "--config-name", "finetune",
+            f"data.data_dir={data_root}/train_images",
+            f"data.data_csv={data_root}/train_labels.json",
+            "model.num_classes=3",
+            f"training.pretrained_path={ssl_dir}/best_model",
+            "training.freeze_backbone=true",
+            "+freeze_backbone_epochs=2",
+            # lr large enough that one unfrozen epoch visibly moves weights
+            "training.warmup_final_learning_rate=1e-2",
+            *_common(data_root, ft_dir, extra=["training.num_epochs=2"]),
+        ]
+    )
+    ssl_tree, _ = load_checkpoint(os.path.join(ssl_dir, "best_model"))
+    ft_tree, _ = load_checkpoint(os.path.join(ft_dir, "last_model"))
+    a = np.asarray(ssl_tree["params"]["encoder_blocks_0"]["feed_forward"]["w1"])
+    b = np.asarray(ft_tree["params"]["encoder_blocks_0"]["feed_forward"]["w1"])
+    assert not np.array_equal(a, b), "backbone should train after unfreezing"

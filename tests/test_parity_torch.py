@@ -196,3 +196,60 @@ def test_dino_student_multicrop_parity(image_batch):
     # same scale and high correlation despite interpolation-kernel mismatch
     corr = np.corrcoef(np.asarray(out).ravel(), ref_np.ravel())[0, 1]
     assert corr > 0.99, f"correlation {corr}"
+
+
+def test_vit_gradient_parity(image_batch):
+    """Parameter gradients match torch autograd through imported weights:
+    catches backward-pass math divergences (GELU variant, LN, softmax-CE)."""
+    from vit_core.vit import ViT as RefViT
+
+    torch.manual_seed(7)
+    ref = RefViT(
+        num_classes=CLASSES, num_blocks=1, input_shape=(3, IMG, IMG),
+        embed_dim=D, patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=0.0,
+    )
+    ref.eval()
+    labels_np = np.array([0, 2, 4])
+
+    logits = ref(torch.from_numpy(image_batch))
+    loss = torch.nn.functional.cross_entropy(
+        logits, torch.from_numpy(labels_np).long()
+    )
+    loss.backward()
+    ref_grads = {k: p.grad.numpy() for k, p in ref.named_parameters()}
+
+    params = vit_params_from_torch({k: v.numpy() for k, v in ref.state_dict().items()})
+    ours = ViT(
+        num_classes=CLASSES, num_blocks=1, input_shape=(3, IMG, IMG),
+        embed_dim=D, patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=0.0,
+        use_flash=False, use_fused_mlp=False,
+    )
+
+    import optax
+
+    def loss_fn(p):
+        lg = ours.apply({"params": p}, jnp.asarray(_to_nhwc(image_batch)))
+        return optax.softmax_cross_entropy_with_integer_labels(
+            lg, jnp.asarray(labels_np)
+        ).mean()
+
+    ref_loss = float(loss.detach())
+    ours_loss, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(ours_loss), ref_loss, rtol=1e-5)
+
+    checks = [
+        (grads["encoder_blocks_0"]["feed_forward"]["w1"],
+         ref_grads["encoder_blocks.0.feed_forward.linear_in.weight"].T),
+        (grads["encoder_blocks_0"]["self_attention"]["w_query"]["kernel"],
+         ref_grads["encoder_blocks.0.self_attention.w_query.weight"].T),
+        (grads["patch_embedding"]["conv"]["kernel"],
+         ref_grads["patch_embedding.conv.weight"].transpose(2, 3, 1, 0)),
+        (grads["classification_head"]["linear"]["kernel"],
+         ref_grads["classification_head.linear.weight"].T),
+        (grads["patch_embedding"]["positional_embedding"],
+         ref_grads["patch_embedding.positional_embedding"]),
+    ]
+    for ours_g, ref_g in checks:
+        np.testing.assert_allclose(
+            np.asarray(ours_g), ref_g, atol=3e-6, rtol=1e-4
+        )

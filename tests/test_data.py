@@ -341,3 +341,38 @@ def test_decode_cache_hits(data_root, monkeypatch):
     ds.__getitem__(0, _rng())
     ds.__getitem__(1, _rng())
     assert calls["n"] == 2  # second access to index 0 served from cache
+
+
+def test_native_batch_decoder_matches_python_path(data_root):
+    from vit_ssl_tpu.data import native
+    from vit_ssl_tpu.data.transforms import Compose, Resize
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    ds = STL10UnsupervisedDataset(
+        f"{data_root}/unlabeled_images", Compose([Resize([32, 32])]),
+        native_decode=True,
+    )
+    batch_native = ds.native_batch([0, 1, 2])
+    assert batch_native is not None and len(batch_native) == 3
+    for i, arr in enumerate(batch_native):
+        assert arr.shape == (32, 32, 3) and arr.dtype == np.uint8
+        py = ds.__getitem__(i, _rng())
+        # same decode + resize maths (both cv2), bit-identical
+        np.testing.assert_array_equal(arr, py)
+
+
+def test_native_loader_end_to_end(data_root):
+    from vit_ssl_tpu.data import native
+    from vit_ssl_tpu.data.transforms import Compose, Resize
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    ds = STL10UnsupervisedDataset(
+        f"{data_root}/unlabeled_images", Compose([Resize([16, 16])]),
+        native_decode=True,
+    )
+    loader = DataLoader(ds, batch_size=8, shuffle=False, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["image"].dtype == np.uint8
+    assert batch["image"].shape == (8, 16, 16, 3)

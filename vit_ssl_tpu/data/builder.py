@@ -41,6 +41,7 @@ def _get_dataset(config, mode: str, transforms: Dict):
         config.get("data", {}).get("device_augment", False)
     )
     cache = bool(config.get("data", {}).get("cache_decoded", False))
+    native_decode = bool(config.get("data", {}).get("native_decode", False))
 
     def _raw_pipeline():
         # host does decode + resize only; augmentation happens on device
@@ -72,7 +73,10 @@ def _get_dataset(config, mode: str, transforms: Dict):
     if mode == "simmim":
         if dataset_name == "stl10":
             train_t = _raw_pipeline() if device_augment else transforms["train"]
-            dataset = STL10UnsupervisedDataset(data_dir, transform=train_t, cache=cache)
+            dataset = STL10UnsupervisedDataset(
+                data_dir, transform=train_t, cache=cache,
+                native_decode=native_decode,
+            )
             return dataset, dataset
         raise ValueError(f"Unknown unsupervised dataset: {dataset_name}")
 
@@ -88,7 +92,10 @@ def _get_dataset(config, mode: str, transforms: Dict):
 
                 img = int(config["data"]["img_size"])
                 base = Compose([Resize([img, img])])
-                dataset = STL10UnsupervisedDataset(data_dir, transform=base, cache=cache)
+                dataset = STL10UnsupervisedDataset(
+                    data_dir, transform=base, cache=cache,
+                    native_decode=native_decode,
+                )
                 dataset.num_global_views = int(config.training.num_global_views)
                 return dataset, dataset
             dataset = STL10DINODataset(

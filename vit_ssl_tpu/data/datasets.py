@@ -118,11 +118,12 @@ class STL10UnsupervisedDataset(Dataset):
     """Sorted glob of ``*.png``, image-only (`datasets.py:61-77`)."""
 
     def __init__(self, root_dir: str, transform: Optional[Callable] = None,
-                 cache: bool = False):
+                 cache: bool = False, native_decode: bool = False):
         self.root_dir = root_dir
         self.transform = transform
         self.files = sorted(glob.glob(f"{root_dir}/*.png"))
         self._cache = _DecodeCache(cache)
+        self.native_decode = native_decode
 
     def __len__(self):
         return len(self.files)
@@ -132,6 +133,42 @@ class STL10UnsupervisedDataset(Dataset):
         if self.transform:
             image = self.transform(image, rng)
         return image
+
+    def _native_size(self):
+        """(h, w) when the pipeline is decode+Resize only (the device-
+        augment contract), else None — gates the C++ batch fast-path."""
+        from .transforms import Compose, Resize
+
+        t = self.transform
+        if isinstance(t, Compose) and len(t.transforms) == 1:
+            t = t.transforms[0]
+        if isinstance(t, Resize) and isinstance(t.size, (list, tuple)):
+            return int(t.size[0]), int(t.size[1])
+        return None
+
+    def native_batch(self, indices):
+        """Decode+resize a whole batch in one C++ call (csrc/fastloader).
+        Returns a list of uint8 HWC arrays, or None to use the per-sample
+        python path (library missing, unsupported pipeline, cache on, or
+        any file failed to decode)."""
+        if not self.native_decode or self._cache.enabled:
+            # opt-in (data.native_decode): measured neutral on a 1-core
+            # host where cv2-python already releases the GIL; wins when
+            # multiple cores can decode one batch in parallel. The cache
+            # path is faster than either after epoch 1.
+            return None
+        size = self._native_size()
+        if size is None:
+            return None
+        from .native import decode_batch
+
+        result = decode_batch([self.files[int(i)] for i in indices], *size)
+        if result is None:
+            return None
+        out, ok = result
+        if not ok.all():
+            return None
+        return list(out)
 
 
 class STL10DINODataset(Dataset):
@@ -222,3 +259,9 @@ class Subset(Dataset):
 
     def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
         return self.dataset.__getitem__(self.indices[idx], rng)
+
+    def native_batch(self, indices):
+        inner = getattr(self.dataset, "native_batch", None)
+        if inner is None:
+            return None
+        return inner([self.indices[int(i)] for i in indices])

@@ -98,6 +98,16 @@ class DataLoader:
         except TypeError:
             return self.dataset[int(index)]
 
+    def _fetch_batch(self, idxs) -> List[Any]:
+        """Whole-batch fetch: one C++ decode call when the dataset supports
+        it (csrc/fastloader via ``native_batch``), else per-sample python."""
+        native = getattr(self.dataset, "native_batch", None)
+        if native is not None:
+            samples = native(idxs)
+            if samples is not None:
+                return samples
+        return [self._fetch(i) for i in idxs]
+
     def _batches(self) -> List[np.ndarray]:
         order = self._index_order()
         if self.drop_last:
@@ -111,7 +121,7 @@ class DataLoader:
         batches = self._batches()
         if self.num_workers == 0:
             for idxs in batches:
-                yield _collate([self._fetch(i) for i in idxs], self.batch_size)
+                yield _collate(self._fetch_batch(idxs), self.batch_size)
             return
 
         out_q: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch_factor)
@@ -119,11 +129,16 @@ class DataLoader:
 
         def produce():
             try:
+                native = getattr(self.dataset, "native_batch", None)
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for idxs in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self._fetch, idxs))
+                        samples = None
+                        if native is not None:
+                            samples = native(idxs)
+                        if samples is None:
+                            samples = list(pool.map(self._fetch, idxs))
                         out_q.put(_collate(samples, self.batch_size))
                 out_q.put(None)
             except BaseException as e:  # surface worker errors in the consumer

@@ -252,9 +252,12 @@ def dino_loss(
     teacher_p = jax.nn.softmax(
         (teacher_output - center[None]) / teacher_temp, axis=-1
     )
-    tp = teacher_p[:, None]  # (Vt, 1, B, K)
-    sp = student_logp[None]  # (1, Vs, B, K)
-    return -(tp * sp).sum(axis=1).mean()
+    # algebraically identical to the reference's broadcast-and-sum
+    # (-(tp[:,None] * sp[None]).sum(axis=1).mean(), loss.py:26-29):
+    # Σ_s tp·sp_s = tp · Σ_s sp_s — the (Vt, Vs, B, K) intermediate never
+    # materialises.
+    sp_sum = student_logp.sum(axis=0)  # (B, K)
+    return -(teacher_p * sp_sum[None]).mean()
 
 
 def update_center(

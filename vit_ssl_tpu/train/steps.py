@@ -289,7 +289,9 @@ def make_dino_steps(
         s = s.astype(jnp.float32)
         sp = jax.nn.log_softmax(s / student_temp, axis=-1)
         tp = jax.nn.softmax((t - center[None]) / t_temp, axis=-1)
-        per = -(tp[:, None] * sp[None]).sum(axis=1)  # (Vt, B, K)
+        # Σ_s tp·sp_s = tp·Σ_s sp_s (see models/dino.py::dino_loss) — no
+        # (Vt, Vs, B, K) intermediate
+        per = -(tp * sp.sum(axis=0)[None])  # (Vt, B, K)
         w = weight.astype(jnp.float32)[None, :, None]
         return jnp.sum(per * w) / jnp.maximum(
             jnp.sum(jnp.broadcast_to(w, per.shape)), 1.0

@@ -150,3 +150,57 @@ def test_vit_b_stretch_config_composes():
     assert cfg.parallel.remat is True
     assert cfg.model.use_flash_attention is True
     validate_train_config(cfg)
+
+
+def test_missing_group_file_raises_filenotfound():
+    import tempfile
+
+    import yaml
+
+    d = tempfile.mkdtemp()
+    with open(f"{d}/root.yaml", "w") as f:
+        yaml.safe_dump({"defaults": [{"grp@pkg": "nope"}]}, f)
+    with pytest.raises(FileNotFoundError):
+        compose(d, "root")
+
+
+def test_defaults_order_later_wins():
+    import tempfile
+
+    import os
+    import yaml
+
+    d = tempfile.mkdtemp()
+    os.makedirs(f"{d}/a")
+    yaml.safe_dump({"x": 1, "y": 1}, open(f"{d}/a/first.yaml", "w"))
+    yaml.safe_dump({"x": 2}, open(f"{d}/a/second.yaml", "w"))
+    yaml.safe_dump(
+        {"defaults": [{"a@p": "first"}, {"a@p": "second"}]},
+        open(f"{d}/root.yaml", "w"),
+    )
+    cfg = compose(d, "root")
+    assert cfg.p.x == 2  # later defaults entry wins
+    assert cfg.p.y == 1  # earlier keys survive
+
+
+def test_self_position_controls_override_priority():
+    import tempfile
+
+    import os
+    import yaml
+
+    d = tempfile.mkdtemp()
+    os.makedirs(f"{d}/a")
+    yaml.safe_dump({"x": 1}, open(f"{d}/a/g.yaml", "w"))
+    # _self_ before the group: group wins
+    yaml.safe_dump(
+        {"defaults": ["_self_", {"a@p": "g"}], "p": {"x": 99}},
+        open(f"{d}/r1.yaml", "w"),
+    )
+    # _self_ after the group: own content wins
+    yaml.safe_dump(
+        {"defaults": [{"a@p": "g"}, "_self_"], "p": {"x": 99}},
+        open(f"{d}/r2.yaml", "w"),
+    )
+    assert compose(d, "r1").p.x == 1
+    assert compose(d, "r2").p.x == 99

@@ -194,3 +194,8 @@ def test_tp_spec_rules():
     ) == P("model", None)
     assert tp_spec_for(("head", "fully_connected", "v"), None) == P(None, "model")
     assert tp_spec_for(("patch_embedding", "cls_token"), None) == P()
+
+
+def test_shard_batch_rejects_indivisible_batch(mesh8):
+    with pytest.raises(ValueError, match="must divide"):
+        shard_batch({"image": np.zeros((6, 4, 4, 3), np.float32)}, mesh8)

@@ -56,11 +56,18 @@ def shard_batch(batch: Any, mesh: Optional[Mesh]):
     if mesh is None:
         return jax.device_put(batch)
     data_sh = batch_sharding(mesh)
+    dp = mesh.shape[DATA_AXIS]
 
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, replicated_sharding(mesh))
+        if x.shape[0] % dp != 0:
+            raise ValueError(
+                f"batch dimension {x.shape[0]} must divide the data-parallel "
+                f"axis ({dp} devices) — adjust training.batch_size or "
+                f"parallel.num_devices"
+            )
         return jax.device_put(x, data_sh)
 
     return jax.tree_util.tree_map(put, batch)

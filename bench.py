@@ -38,6 +38,67 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def bench_mode(mode: str, batch: int, warmup: int, iters: int) -> float:
+    """Step throughput for supervised/simmim at ViT-S reference configs
+    (secondary metrics; the headline JSON line stays DINO)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vit_ssl_tpu.models import SimMIMViT, ViT
+    from vit_ssl_tpu.train.state import create_train_state
+    from vit_ssl_tpu.train.steps import make_simmim_steps, make_supervised_steps
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    iters = max(iters, 10)  # short timing loops mis-measure on this tunnel
+    rs = np.random.RandomState(0)
+    img, patch = 192, 16
+    common = dict(
+        num_blocks=6, input_shape=(3, img, img), embed_dim=384,
+        patch_size=patch, num_heads=6, mlp_dim=1536, dropout=0.1,
+        dtype=jnp.bfloat16,
+        use_flash=jax.default_backend() == "tpu", use_fused_mlp=False,
+    )
+    tx = optax.adamw(1e-4, weight_decay=1e-3)
+    image = jax.device_put((rs.rand(batch, img, img, 3) * 255).astype(np.uint8))
+    weight = jax.device_put(np.ones(batch, np.float32))
+
+    if mode == "supervised":
+        model = ViT(num_classes=10, **common)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)))["params"]
+        state = create_train_state(params, tx, jax.random.PRNGKey(1))
+        step, _ = make_supervised_steps(model, tx)
+        b = {"image": image, "label": jax.device_put(rs.randint(0, 10, batch).astype(np.int32)),
+             "weight": weight}
+        run = lambda s: step(s, b)  # noqa: E731
+    elif mode == "simmim":
+        model = SimMIMViT(mask_ratio=0.5, **common)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            jnp.zeros((1, img, img, 3)),
+        )
+        state = create_train_state(variables["params"], tx, jax.random.PRNGKey(2))
+        step, _ = make_simmim_steps(model, tx, patch_size=patch, channels=3)
+        b = {"image": image, "weight": weight}
+        run = lambda s: step(s, b)  # noqa: E731
+    else:
+        raise ValueError(mode)
+
+    for _ in range(warmup):
+        state, out = run(state)
+    jax.block_until_ready(out["loss"])
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        state, out = run(state)
+    jax.block_until_ready(out["loss"])
+    ips = batch * iters / (_time.perf_counter() - t0)
+    log(f"[ours/{mode}] {ips:.1f} images/sec/chip")
+    return ips
+
+
 def bench_ours(batch: int, warmup: int, iters: int) -> float:
     import jax
     import jax.numpy as jnp
@@ -225,6 +286,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument(
+        "--all-modes", action="store_true",
+        help="also bench supervised + simmim step throughput (stderr)",
+    )
     parser.add_argument("--baseline-batch", type=int, default=8)
     parser.add_argument("--skip-baseline", action="store_true")
     args = parser.parse_args(argv)
@@ -232,6 +297,9 @@ def main(argv=None):
     warmup, iters = (1, 3) if args.quick else (3, 10)
     base_iters = 2 if args.quick else 3
 
+    if args.all_modes:
+        bench_mode("supervised", args.batch, warmup, iters)
+        bench_mode("simmim", args.batch, warmup, iters)
     ours = bench_ours(args.batch, warmup, iters)
     if args.skip_baseline:
         baseline = float("nan")

@@ -53,6 +53,11 @@ class ModelSchema:
     output_dim: Optional[int] = None
     center_momentum: Optional[float] = None
     mask_ratio: Optional[float] = None
+    # TPU-native additions
+    matmul_precision: str = "default"  # default | high | highest (parity)
+    compute_dtype: str = "bfloat16"
+    use_flash_attention: bool = True
+    use_fused_mlp: bool = False
 
 
 @dataclass

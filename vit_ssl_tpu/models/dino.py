@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from ..ops import DynamicPatchEmbed, EncoderBlock
 from ..ops.initializers import InitScheme
+from ..ops.precision import resolve_precision
 
 
 class WeightNormDense(nn.Module):
@@ -41,6 +42,7 @@ class WeightNormDense(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -61,7 +63,9 @@ class WeightNormDense(nn.Module):
         norm = jnp.linalg.norm(v32, axis=0, keepdims=True)
         kernel = (g.astype(jnp.float32) * v32 / (norm + 1e-12)).astype(self.dtype)
         y = jnp.dot(
-            x.astype(self.dtype), kernel, precision=jax.lax.Precision.HIGHEST
+            x.astype(self.dtype),
+            kernel,
+            precision=resolve_precision(self.matmul_precision),
         )
         return y + bias.astype(self.dtype)
 
@@ -76,6 +80,7 @@ class DINOHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -86,7 +91,7 @@ class DINOHead(nn.Module):
                 features,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=resolve_precision(self.matmul_precision),
                 kernel_init=init.linear_kernel(),
                 bias_init=init.linear_bias(fan_in),
                 name=name,
@@ -106,6 +111,7 @@ class DINOHead(nn.Module):
             dtype=jnp.float32,
             param_dtype=self.param_dtype,
             init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
             name="fully_connected",
         )(x)
 
@@ -124,8 +130,9 @@ class ViTBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
-    use_fused_mlp: bool = True
+    use_fused_mlp: bool = False
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
     remat: bool = False
 
     @nn.compact
@@ -142,6 +149,7 @@ class ViTBackbone(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
             name="patch_embedding",
         )(x)
 
@@ -161,6 +169,7 @@ class ViTBackbone(nn.Module):
                 use_flash=self.use_flash,
                 use_fused_mlp=self.use_fused_mlp,
                 init_scheme=self.init_scheme,
+                matmul_precision=self.matmul_precision,
                 name=f"encoder_blocks_{i}",
             )
             want_attn = return_attn and i == self.num_blocks - 1
@@ -190,8 +199,9 @@ class DINONetwork(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
-    use_fused_mlp: bool = True
+    use_fused_mlp: bool = False
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
     remat: bool = False
 
     def setup(self):
@@ -208,6 +218,7 @@ class DINONetwork(nn.Module):
             use_flash=self.use_flash,
             use_fused_mlp=self.use_fused_mlp,
             init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
             remat=self.remat,
         )
         self.head = DINOHead(
@@ -216,6 +227,7 @@ class DINONetwork(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
         )
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:

@@ -29,6 +29,7 @@ from flax import linen as nn
 
 from ..ops import EncoderBlock, extract_patches
 from ..ops.initializers import InitScheme
+from ..ops.precision import resolve_precision
 
 
 def make_random_mask(rng, batch: int, num_patches: int, mask_ratio: float):
@@ -57,8 +58,9 @@ class SimMIMViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
-    use_fused_mlp: bool = True
+    use_fused_mlp: bool = False
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
     remat: bool = False
 
     def setup(self):
@@ -71,7 +73,7 @@ class SimMIMViT(nn.Module):
             self.embed_dim,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=resolve_precision(self.matmul_precision),
             kernel_init=init.linear_kernel(),
             bias_init=init.linear_bias(patch_dim),
             name="projection",
@@ -90,7 +92,7 @@ class SimMIMViT(nn.Module):
             patch_dim,
             dtype=jnp.float32,
             param_dtype=self.param_dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=resolve_precision(self.matmul_precision),
             kernel_init=init.linear_kernel(),
             bias_init=init.linear_bias(self.embed_dim),
             name="simmim_head",
@@ -110,6 +112,7 @@ class SimMIMViT(nn.Module):
                 use_flash=self.use_flash,
                 use_fused_mlp=self.use_fused_mlp,
                 init_scheme=self.init_scheme,
+                matmul_precision=self.matmul_precision,
                 name=f"encoder_blocks_{i}",
             )
             for i in range(self.num_blocks)

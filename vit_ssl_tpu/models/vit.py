@@ -33,8 +33,9 @@ class ViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
-    use_fused_mlp: bool = True
+    use_fused_mlp: bool = False
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
     remat: bool = False
 
     @nn.compact
@@ -51,6 +52,7 @@ class ViT(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
             name="patch_embedding",
         )(x)
 
@@ -70,6 +72,7 @@ class ViT(nn.Module):
                 use_flash=self.use_flash,
                 use_fused_mlp=self.use_fused_mlp,
                 init_scheme=self.init_scheme,
+                matmul_precision=self.matmul_precision,
                 name=f"encoder_blocks_{i}",
             )
             want_attn = return_attn and i == self.num_blocks - 1
@@ -85,6 +88,7 @@ class ViT(nn.Module):
             dtype=jnp.float32,
             param_dtype=self.param_dtype,
             init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
             name="classification_head",
         )(cls_token.astype(jnp.float32))
 

@@ -5,6 +5,7 @@ from .flash_attention import fused_attention, flash_attention_available
 from .fused_mlp import fused_mlp
 from .initializers import InitScheme
 from .mlp_head import MLPHead
+from .precision import resolve_precision
 from .patch_embedding import (
     ConvPatchEmbed,
     DynamicPatchEmbed,
@@ -28,4 +29,5 @@ __all__ = [
     "ManualPatchEmbed",
     "extract_patches",
     "patches_to_image",
+    "resolve_precision",
 ]

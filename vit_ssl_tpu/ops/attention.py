@@ -30,21 +30,28 @@ from .flash_attention import (
 )
 from .flash_blockwise import blockwise_attention
 from .initializers import InitScheme
+from .precision import resolve_precision
 
 
-def scaled_dot_product_attention(query, key, value, return_attn: bool = False):
+def scaled_dot_product_attention(
+    query, key, value, return_attn: bool = False, precision="highest"
+):
     """Reference-math attention: softmax(QKᵀ/√d_k)V.
 
     Shapes (..., N, d). fp32 softmax regardless of input dtype (matching
-    torch autocast, which computes softmax in fp32).
+    torch autocast, which computes softmax in fp32). Defaults to
+    ``precision="highest"`` because this function doubles as the oracle
+    path for kernel-equivalence tests; the model stack threads its own
+    ``matmul_precision`` policy through (see :mod:`.precision`).
     """
+    prec = resolve_precision(precision)
     d_k = query.shape[-1]
     scores = jnp.einsum(
         "...nd,...md->...nm",
         query,
         key,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     scores = scores / jnp.sqrt(jnp.asarray(d_k, dtype=scores.dtype))
     probs = jax.nn.softmax(scores, axis=-1)
@@ -53,7 +60,7 @@ def scaled_dot_product_attention(query, key, value, return_attn: bool = False):
         probs.astype(value.dtype),
         value,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     ).astype(value.dtype)
     if return_attn:
         return context, probs
@@ -69,6 +76,7 @@ class MultiHeadAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
 
     def setup(self):
         if self.d_model % self.num_heads != 0:
@@ -82,7 +90,7 @@ class MultiHeadAttention(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=resolve_precision(self.matmul_precision),
             kernel_init=init.linear_kernel(),
             name=name,
         )
@@ -123,7 +131,9 @@ class MultiHeadAttention(nn.Module):
                     q, k, v, scale, interpret=default_interpret()
                 )
         else:
-            context, probs = scaled_dot_product_attention(q, k, v, return_attn)
+            context, probs = scaled_dot_product_attention(
+                q, k, v, return_attn, precision=self.matmul_precision
+            )
 
         context = context.transpose(0, 2, 1, 3).reshape(b, n_q, self.d_model)
         out = self.final_linear(context)

@@ -24,8 +24,9 @@ class EncoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
-    use_fused_mlp: bool = True
+    use_fused_mlp: bool = False
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
 
     @nn.compact
     def __call__(
@@ -47,6 +48,7 @@ class EncoderBlock(nn.Module):
             param_dtype=self.param_dtype,
             use_flash=self.use_flash,
             init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
             name="self_attention",
         )
         feed_forward = FeedForwardBlock(
@@ -57,6 +59,7 @@ class EncoderBlock(nn.Module):
             param_dtype=self.param_dtype,
             use_fused=self.use_fused_mlp,
             init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
             name="feed_forward",
         )
         drop1 = nn.Dropout(rate=self.dropout, name="drop1")

@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from .fused_mlp import _gelu_exact, default_interpret, fused_mlp
 from .initializers import InitScheme
+from .precision import resolve_precision
 
 
 class FeedForwardBlock(nn.Module):
@@ -27,8 +28,9 @@ class FeedForwardBlock(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    use_fused: bool = True
+    use_fused: bool = False
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -65,10 +67,11 @@ class FeedForwardBlock(nn.Module):
             )
             return out.reshape(b, n, self.d_model)
 
-        h = jnp.dot(xc, w1c, precision=jax.lax.Precision.HIGHEST) + b1c
+        prec = resolve_precision(self.matmul_precision)
+        h = jnp.dot(xc, w1c, precision=prec) + b1c
         h = _gelu_exact(h)
         if apply_dropout:
             rng = self.make_rng("dropout")
             mask = jax.random.bernoulli(rng, keep_prob, h.shape)
             h = jnp.where(mask, h / keep_prob, 0.0).astype(self.dtype)
-        return jnp.dot(h, w2c, precision=jax.lax.Precision.HIGHEST) + b2c
+        return jnp.dot(h, w2c, precision=prec) + b2c

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .initializers import InitScheme
+from .precision import resolve_precision
 
 
 class MLPHead(nn.Module):
@@ -18,6 +19,7 @@ class MLPHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -30,7 +32,7 @@ class MLPHead(nn.Module):
             self.num_classes,
             dtype=jnp.float32,
             param_dtype=self.param_dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=resolve_precision(self.matmul_precision),
             kernel_init=init.linear_kernel(),
             bias_init=init.linear_bias(self.d_model),
             name="linear",

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .initializers import InitScheme
+from .precision import resolve_precision
 
 
 def extract_patches(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
@@ -68,6 +69,7 @@ class ConvPatchEmbed(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -83,7 +85,7 @@ class ConvPatchEmbed(nn.Module):
             padding="VALID",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=resolve_precision(self.matmul_precision),
             kernel_init=init.conv_kernel(),
             bias_init=init.conv_bias(self.patch_size, c),
             name="conv",
@@ -117,6 +119,7 @@ class ManualPatchEmbed(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -130,7 +133,7 @@ class ManualPatchEmbed(nn.Module):
             self.embed_dim,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=resolve_precision(self.matmul_precision),
             kernel_init=init.linear_kernel(),
             bias_init=init.linear_bias(patch_dim),
             name="linear",
@@ -168,6 +171,7 @@ class DynamicPatchEmbed(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     init_scheme: str = "reference"
+    matmul_precision: str = "default"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -185,7 +189,7 @@ class DynamicPatchEmbed(nn.Module):
             padding="VALID",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=resolve_precision(self.matmul_precision),
             kernel_init=init.conv_kernel(),
             bias_init=init.conv_bias(self.patch_size, c),
             name="proj",

@@ -43,8 +43,9 @@ def test_forward_bfloat16():
     )
 
 
-def test_gradients_match_reference():
-    q, k, v = _qkv(jax.random.PRNGKey(2), n=17)
+@pytest.mark.parametrize("n", [8, 17, 128, 145])
+def test_gradients_match_reference(n):
+    q, k, v = _qkv(jax.random.PRNGKey(2), n=n)
     scale = 1.0 / np.sqrt(q.shape[-1])
 
     def loss_fused(q, k, v):
@@ -58,6 +59,32 @@ def test_gradients_match_reference():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for gf, gr in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-3)
+
+
+def test_gradients_bfloat16():
+    """bf16 grads from the Pallas backward stay within bf16 tolerance of
+    the fp32 reference gradient."""
+    q, k, v = _qkv(jax.random.PRNGKey(5), n=24, dtype=jnp.bfloat16)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, scale, True).astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        out, _ = scaled_dot_product_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        return jnp.sum(out**2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    for gf, gr in zip(g_fused, g_ref):
+        assert gf.dtype == jnp.bfloat16
+        scale_ref = np.abs(np.asarray(gr)).max() + 1e-6
+        err = np.abs(np.asarray(gf, np.float32) - np.asarray(gr)) / scale_ref
+        assert err.max() < 0.06, err.max()
 
 
 def test_mha_flash_path_matches_xla_path():

@@ -1,0 +1,117 @@
+"""Multi-host data parallelism: 2 real processes × 4 virtual CPU devices.
+
+Proves (VERDICT r1 item 5):
+- each process loads a DIFFERENT slice of every global batch,
+- `shard_batch` assembles a correct global jax.Array across hosts,
+- the distributed gradient equals a single-process gradient over the
+  concatenated global batch (collectives ride the jax.distributed runtime).
+
+Plus single-process unit coverage of the loader's process_shard contract.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "multihost_worker.py"
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel(tmp_path):
+    port = "12733"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), port, str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(REPO),
+        )
+        for pid in (0, 1)
+    ]
+    outputs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    local0 = np.load(tmp_path / "local_0.npz")
+    local1 = np.load(tmp_path / "local_1.npz")
+    # per-host batches are different slices of the same global batch
+    assert not np.array_equal(local0["image"], local1["image"])
+    assert set(local0["label"]).isdisjoint(set(local1["label"])) or not (
+        np.array_equal(local0["label"], local1["label"])
+    )
+
+    # both hosts fetched the identical (replicated) global gradient
+    g0 = np.load(tmp_path / "grad_0.npy")
+    g1 = np.load(tmp_path / "grad_1.npy")
+    np.testing.assert_allclose(g0, g1, rtol=1e-6)
+
+    # distributed gradient == single-process gradient on the concatenated
+    # global batch (device order: process 0's shard then process 1's)
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    sys.path.insert(0, str(REPO))
+    from tests.multihost_worker import loss_fn
+
+    batch = {
+        "image": np.concatenate([local0["image"], local1["image"]]),
+        "label": np.concatenate([local0["label"], local1["label"]]),
+        "weight": np.concatenate([local0["weight"], local1["weight"]]),
+    }
+    rs = np.random.RandomState(3)
+    w = rs.randn(3, 4).astype(np.float32) * 0.1
+    g_ref = jax.grad(loss_fn)(w, jax.device_put(batch))
+    np.testing.assert_allclose(g0, np.asarray(g_ref), rtol=1e-5, atol=1e-7)
+
+
+class TestProcessShardLoader:
+    def _loader(self, shard, batch_size=8, n=20, **kw):
+        from tests.multihost_worker import ArrayDataset
+        from vit_ssl_tpu.data.loader import DataLoader
+
+        ds = ArrayDataset()
+        return DataLoader(ds, batch_size=batch_size, shuffle=True, seed=5,
+                          process_shard=shard, **kw)
+
+    def test_shards_partition_each_global_batch(self):
+        full = self._loader(None)
+        p0 = self._loader((0, 2))
+        p1 = self._loader((1, 2))
+        for ldr in (full, p0, p1):
+            ldr.set_epoch(3)
+        full_batches = [b for b in full]
+        b0 = [b for b in p0]
+        b1 = [b for b in p1]
+        assert len(full_batches) == len(b0) == len(b1)
+        for fb, x0, x1 in zip(full_batches, b0, b1):
+            assert x0["image"].shape[0] == x1["image"].shape[0] == 4
+            # real (weight 1) samples of the two shards partition the
+            # global batch's real samples
+            real_full = fb["image"][fb["weight"] > 0]
+            real_shards = np.concatenate(
+                [x0["image"][x0["weight"] > 0], x1["image"][x1["weight"] > 0]]
+            )
+            assert real_shards.shape == real_full.shape
+            assert {a.tobytes() for a in real_shards} == {
+                a.tobytes() for a in real_full
+            }
+
+    def test_weights_sum_to_global_real_count(self):
+        # 20 samples, batch 8 -> final global batch has 4 real samples
+        p0 = self._loader((0, 2))
+        p1 = self._loader((1, 2))
+        total = sum(float(b["weight"].sum()) for b in p0) + sum(
+            float(b["weight"].sum()) for b in p1
+        )
+        assert total == 20.0
+
+    def test_indivisible_batch_raises(self):
+        with pytest.raises(ValueError, match="divide evenly"):
+            self._loader((0, 3), batch_size=8)
+
+    def test_invalid_shard_raises(self):
+        with pytest.raises(ValueError, match="process_shard"):
+            self._loader((2, 2))

@@ -143,6 +143,20 @@ def prepare_dataloaders(config, transforms, mode) -> Tuple[DataLoader, DataLoade
     )
     num_workers = int(config.data.num_workers)
 
+    # multi-host: every process builds the same datasets/seeds but loads
+    # only its interleaved slice of each global batch
+    process_shard = None
+    import jax
+
+    if jax.process_count() > 1:
+        process_shard = (jax.process_index(), jax.process_count())
+        logger.info(
+            "Multi-host data sharding: process %d/%d loads %d of every "
+            "%d-sample global batch",
+            process_shard[0], process_shard[1],
+            int(batch_size) // process_shard[1], batch_size,
+        )
+
     train_loader = DataLoader(
         train_dataset,
         batch_size=batch_size,
@@ -150,6 +164,7 @@ def prepare_dataloaders(config, transforms, mode) -> Tuple[DataLoader, DataLoade
         num_workers=num_workers,
         seed=seed,
         prefetch_factor=2,
+        process_shard=process_shard,
     )
     val_loader = None
     if val_dataset is not None:
@@ -160,5 +175,6 @@ def prepare_dataloaders(config, transforms, mode) -> Tuple[DataLoader, DataLoade
             num_workers=num_workers,
             seed=seed,
             prefetch_factor=2,
+            process_shard=process_shard,
         )
     return train_loader, val_loader

@@ -14,6 +14,14 @@ exact under padding.
 
 Per-sample RNG is ``PRNG(seed, epoch, index)``-derived, making augmentation
 streams reproducible regardless of worker scheduling.
+
+Multi-host: with ``process_shard=(process_index, process_count)`` every
+process derives the SAME global index order (same seed/epoch) but loads
+only its interleaved slice of each global batch, yielding local batches of
+``batch_size / process_count`` — the per-process shard that
+``parallel.mesh.shard_batch`` assembles into one global jax.Array
+(`jax.make_array_from_process_local_data`). The reference has no
+distributed story at all (SURVEY.md §2.6).
 """
 
 from __future__ import annotations
@@ -21,16 +29,21 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterator, List
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from .datasets import Dataset
 
 
-def _collate(samples: List[Any], pad_to: int) -> Dict[str, np.ndarray]:
-    """Stack samples; pad with copies of sample 0 at weight 0."""
-    n_real = len(samples)
+def _collate(
+    samples: List[Any], pad_to: int, n_real: Optional[int] = None
+) -> Dict[str, np.ndarray]:
+    """Stack samples; pad with copies of sample 0 at weight 0. ``n_real``
+    overrides the real-sample count (0 for an all-pad step on a process
+    whose slice of a short final global batch is empty)."""
+    if n_real is None:
+        n_real = len(samples)
     weight = np.zeros((pad_to,), dtype=np.float32)
     weight[:n_real] = 1.0
     while len(samples) < pad_to:
@@ -65,6 +78,7 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch_factor: int = 2,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -74,6 +88,23 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch_factor = max(1, prefetch_factor)
         self.epoch = 0
+        if process_shard is not None:
+            index, count = int(process_shard[0]), int(process_shard[1])
+            if count < 1 or not (0 <= index < count):
+                raise ValueError(f"Invalid process_shard {process_shard}")
+            if batch_size % count != 0:
+                raise ValueError(
+                    f"training.batch_size ({batch_size}) must divide evenly "
+                    f"across {count} processes"
+                )
+            process_shard = (index, count)
+        self.process_shard = process_shard
+
+    @property
+    def local_batch_size(self) -> int:
+        if self.process_shard is None:
+            return self.batch_size
+        return self.batch_size // self.process_shard[1]
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -112,16 +143,31 @@ class DataLoader:
         order = self._index_order()
         if self.drop_last:
             order = order[: (len(order) // self.batch_size) * self.batch_size]
-        return [
+        global_batches = [
             order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)
         ]
+        if self.process_shard is None:
+            return [(idxs, len(idxs)) for idxs in global_batches]
+        # interleaved slice: a short final global batch spreads its real
+        # samples across processes, so the per-process pad weights still
+        # sum to the global real-sample count. A process whose slice is
+        # empty still steps (all-pad batch, weight 0) so the collective
+        # step count matches across hosts.
+        index, count = self.process_shard
+        sliced = []
+        for idxs in global_batches:
+            sl = idxs[index::count]
+            sliced.append((sl, len(sl)) if len(sl) else (idxs[:1], 0))
+        return sliced
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batches()
         if self.num_workers == 0:
-            for idxs in batches:
-                yield _collate(self._fetch_batch(idxs), self.batch_size)
+            for idxs, n_real in batches:
+                yield _collate(
+                    self._fetch_batch(idxs), self.local_batch_size, n_real
+                )
             return
 
         out_q: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch_factor)
@@ -131,7 +177,7 @@ class DataLoader:
             try:
                 native = getattr(self.dataset, "native_batch", None)
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    for idxs in batches:
+                    for idxs, n_real in batches:
                         if stop.is_set():
                             return
                         samples = None
@@ -139,7 +185,9 @@ class DataLoader:
                             samples = native(idxs)
                         if samples is None:
                             samples = list(pool.map(self._fetch, idxs))
-                        out_q.put(_collate(samples, self.batch_size))
+                        out_q.put(
+                            _collate(samples, self.local_batch_size, n_real)
+                        )
                 out_q.put(None)
             except BaseException as e:  # surface worker errors in the consumer
                 out_q.put(e)

@@ -1,13 +1,18 @@
 """Embedding-space analysis: 2D/3D projection, quality metrics, reports.
 
-Behavioral parity with
-`/root/reference/evaluators/unsupervised_evaluators/umap_visualization.py`:
-the same quality metrics (silhouette on features — stratified-sampled to
+Behavioral parity with the reference's UMAP analysis
+(`/root/reference/evaluators/unsupervised_evaluators/umap_visualization.py`):
+the same quality *metrics* (silhouette on features — stratified-sampled to
 2000 — and on the embedding, KMeans ARI, intra/inter class distance ratio),
-the same rubric thresholds and grades, the same output artifacts
+the same rubric thresholds and grades, and the same artifact *filenames*
 (``umap_visualization.png``, ``comprehensive_umap_analysis.png``,
 ``umap_feature_quality_results.csv``, ``umap_feature_quality_report.txt``,
-``umap_3d_rotation.gif``).
+``umap_3d_rotation.gif``) so downstream tooling finds what it expects.
+
+The implementation is this framework's own: the rubric is a declarative
+scoring table, the multi-panel figure is built from a panel registry, the
+CSV/txt reports are generated from metric metadata rather than hand-written
+rows, and the 3D rotation animation uses matplotlib's FuncAnimation.
 
 umap-learn is not installed in this environment; when absent the projector
 falls back to PCA (sklearn) with a logged warning — the quality metrics on
@@ -18,7 +23,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import matplotlib
 
@@ -27,7 +32,11 @@ import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 from sklearn.cluster import KMeans  # noqa: E402
-from sklearn.metrics import adjusted_rand_score, silhouette_score  # noqa: E402
+from sklearn.metrics import (  # noqa: E402
+    adjusted_rand_score,
+    silhouette_samples,
+    silhouette_score,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -64,10 +73,54 @@ def prepare_combined_features(train_features, train_labels, val_features, val_la
     return features, labels
 
 
+def _stratified_subsample(features, labels, cap: int):
+    """At most ``cap`` points, class-stratified (silhouette/KMeans on the
+    full set would dominate eval wall-clock at dataset scale)."""
+    if len(features) <= cap:
+        return features, labels
+    from sklearn.model_selection import train_test_split
+
+    _, f, _, y = train_test_split(
+        features, labels, test_size=cap, stratify=labels, random_state=42
+    )
+    return f, y
+
+
+def _class_centroid_stats(features, labels, rng_seed: int = 42):
+    """Mean within-class distance-to-centroid vs mean pairwise centroid
+    distance (each class subsampled to ≤500 points for the intra term)."""
+    rng = np.random.default_rng(rng_seed)
+    centroids = []
+    intra_per_class = []
+    for label in np.unique(labels):
+        members = features[labels == label]
+        centroid = members.mean(axis=0)
+        centroids.append(centroid)
+        if len(members) < 2:
+            continue
+        if len(members) > 500:
+            members = members[rng.choice(len(members), 500, replace=False)]
+        intra_per_class.append(
+            float(np.linalg.norm(members - centroid, axis=1).mean())
+        )
+    centroids = np.stack(centroids)
+    # pairwise centroid distances via the Gram trick (upper triangle)
+    sq = np.sum(centroids**2, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (centroids @ centroids.T)
+    iu = np.triu_indices(len(centroids), k=1)
+    inter = np.sqrt(np.maximum(d2[iu], 0.0))
+    avg_intra = float(np.mean(intra_per_class)) if intra_per_class else 0.0
+    avg_inter = float(inter.mean()) if inter.size else 0.0
+    return avg_intra, avg_inter
+
+
 def evaluate_feature_quality(
     features, labels, embedding, sample_size: int = 2000
 ) -> Dict:
-    """Quality metrics (reference `umap_visualization.py:28-106`)."""
+    """Quality metrics with the reference's definitions
+    (`umap_visualization.py:28-106`): silhouette on sampled features and on
+    the 2D embedding, KMeans ARI on sampled features, centroid-based
+    intra/inter distances and their ratio."""
     features = np.asarray(features)
     labels = np.asarray(labels)
     logger.info(
@@ -75,104 +128,50 @@ def evaluate_feature_quality(
         features.shape[0],
         features.shape[1],
     )
-    if len(features) > sample_size:
-        from sklearn.model_selection import train_test_split
+    sampled_f, sampled_y = _stratified_subsample(features, labels, sample_size)
 
-        _, sampled_features, _, sampled_labels = train_test_split(
-            features, labels, test_size=sample_size, stratify=labels, random_state=42
-        )
-    else:
-        sampled_features, sampled_labels = features, labels
-
-    sil_embedding = float(silhouette_score(embedding, labels))
-    sil_features = float(silhouette_score(sampled_features, sampled_labels))
-
-    n_clusters = len(np.unique(labels))
-    kmeans = KMeans(n_clusters=n_clusters, random_state=42, n_init=3, max_iter=100)
-    ari = float(adjusted_rand_score(sampled_labels, kmeans.fit_predict(sampled_features)))
-
-    # class separation: mean distance-to-centroid vs centroid spread
-    rng = np.random.default_rng(42)
-    centers = {}
-    intra = []
-    for label in np.unique(labels):
-        cls = features[labels == label]
-        center = cls.mean(0)
-        centers[label] = center
-        if len(cls) > 1:
-            sample = cls[rng.choice(len(cls), 500, replace=False)] if len(cls) > 500 else cls
-            intra.append(float(np.linalg.norm(sample - center, axis=1).mean()))
-    center_list = list(centers.values())
-    inter = [
-        float(np.linalg.norm(center_list[i] - center_list[j]))
-        for i in range(len(center_list))
-        for j in range(i + 1, len(center_list))
-    ]
-    avg_intra = float(np.mean(intra)) if intra else 0.0
-    avg_inter = float(np.mean(inter)) if inter else 0.0
+    n_classes = int(len(np.unique(labels)))
+    kmeans_pred = KMeans(
+        n_clusters=n_classes, random_state=42, n_init=3, max_iter=100
+    ).fit_predict(sampled_f)
+    avg_intra, avg_inter = _class_centroid_stats(features, labels)
 
     return {
-        "silhouette_features": sil_features,
-        "silhouette_umap": sil_embedding,
-        "adjusted_rand_index": ari,
+        "silhouette_features": float(silhouette_score(sampled_f, sampled_y)),
+        "silhouette_umap": float(silhouette_score(embedding, labels)),
+        "adjusted_rand_index": float(adjusted_rand_score(sampled_y, kmeans_pred)),
         "avg_intra_distance": avg_intra,
         "avg_inter_distance": avg_inter,
         "separation_ratio": avg_inter / avg_intra if avg_intra > 0 else 0.0,
-        "n_samples": len(features),
-        "n_features": features.shape[1],
-        "n_classes": n_clusters,
+        "n_samples": int(len(features)),
+        "n_features": int(features.shape[1]),
+        "n_classes": n_classes,
         "sampled_for_computation": len(features) > sample_size,
     }
 
 
+# Declarative rubric: (metric key, aspect name, [(min threshold, points)]).
+# Thresholds/points/grades are the reference's exact values
+# (`umap_visualization.py:110-164`); the scoring engine is ours.
+_RUBRIC: List[Tuple[str, str, List[Tuple[float, int]]]] = [
+    ("silhouette_features", "cluster cohesion", [(0.7, 3), (0.5, 2), (0.2, 1)]),
+    ("separation_ratio", "class separation", [(3.0, 3), (2.0, 2), (1.5, 1)]),
+    ("adjusted_rand_index", "clustering agreement", [(0.8, 3), (0.6, 2), (0.4, 1)]),
+]
+_POINT_WORDS = {3: "Excellent", 2: "Good", 1: "Fair", 0: "Poor"}
+_GRADES = [(7, "Excellent"), (5, "Good"), (3, "Fair"), (0, "Poor")]
+
+
 def assess_quality(metrics: Dict) -> Tuple[str, list]:
-    """Rubric grade with the reference's exact thresholds
-    (`umap_visualization.py:110-164`)."""
-    score = 0
+    """Score each rubric aspect, sum to an overall grade."""
+    total = 0
     feedback = []
-
-    sil = metrics["silhouette_features"]
-    if sil > 0.7:
-        score, fb = score + 3, "Excellent cluster cohesion"
-    elif sil > 0.5:
-        score, fb = score + 2, "Good cluster cohesion"
-    elif sil > 0.2:
-        score, fb = score + 1, "Fair cluster cohesion"
-    else:
-        fb = "Poor cluster cohesion"
-    feedback.append(fb)
-
-    sep = metrics["separation_ratio"]
-    if sep > 3:
-        score, fb = score + 3, "Excellent class separation"
-    elif sep > 2:
-        score, fb = score + 2, "Good class separation"
-    elif sep > 1.5:
-        score, fb = score + 1, "Fair class separation"
-    else:
-        fb = "Poor class separation"
-    feedback.append(fb)
-
-    ari = metrics["adjusted_rand_index"]
-    if ari > 0.8:
-        score, fb = score + 3, "Excellent clustering agreement"
-    elif ari > 0.6:
-        score, fb = score + 2, "Good clustering agreement"
-    elif ari > 0.4:
-        score, fb = score + 1, "Fair clustering agreement"
-    else:
-        fb = "Poor clustering agreement"
-    feedback.append(fb)
-
-    if score >= 7:
-        quality = "Excellent"
-    elif score >= 5:
-        quality = "Good"
-    elif score >= 3:
-        quality = "Fair"
-    else:
-        quality = "Poor"
-    return quality, feedback
+    for key, aspect, levels in _RUBRIC:
+        points = next((p for lo, p in levels if metrics[key] > lo), 0)
+        total += points
+        feedback.append(f"{_POINT_WORDS[points]} {aspect}")
+    grade = next(g for lo, g in _GRADES if total >= lo)
+    return grade, feedback
 
 
 def create_basic_plot(embedding, labels, output_dir):
@@ -188,86 +187,139 @@ def create_basic_plot(embedding, labels, output_dir):
     plt.close()
 
 
+# --- multi-panel analysis figure (panel registry, one draw fn per view) ----
+
+def _panel_true_labels(ax, embedding, labels):
+    classes = np.unique(labels)
+    cmap = plt.cm.get_cmap("viridis", len(classes))
+    for i, cls in enumerate(classes):
+        pts = embedding[labels == cls]
+        ax.scatter(pts[:, 0], pts[:, 1], color=cmap(i), s=10, alpha=0.6,
+                   label=f"class {cls}")
+        centroid = pts.mean(axis=0)
+        ax.scatter(*centroid, color=cmap(i), marker="X", s=120,
+                   edgecolors="black", linewidths=1.0)
+    ax.legend(fontsize=7, ncol=2, loc="best")
+    return "True classes (X = centroid)"
+
+
+def _panel_kmeans(ax, embedding, labels):
+    pred = KMeans(
+        n_clusters=len(np.unique(labels)), random_state=42, n_init=10
+    ).fit_predict(embedding)
+    ax.scatter(embedding[:, 0], embedding[:, 1], c=pred, cmap="viridis",
+               s=10, alpha=0.6)
+    return "K-means clusters in embedding space"
+
+
+def _panel_density(ax, embedding, labels):
+    h = ax.hist2d(embedding[:, 0], embedding[:, 1], bins=40, cmap="magma")
+    plt.colorbar(h[3], ax=ax)
+    return "Point density"
+
+
+def _panel_silhouette_bars(ax, embedding, labels):
+    sil = silhouette_samples(embedding, labels)
+    classes = np.unique(labels)
+    means = [float(sil[labels == cls].mean()) for cls in classes]
+    ax.bar([str(c) for c in classes], means, color="tab:blue")
+    ax.axhline(float(sil.mean()), color="tab:red", linestyle="--",
+               label=f"overall {sil.mean():.3f}")
+    ax.set_xlabel("class")
+    ax.legend(fontsize=8)
+    return "Per-class silhouette (embedding)"
+
+
+_PANELS: Sequence[Callable] = (
+    _panel_true_labels,
+    _panel_kmeans,
+    _panel_density,
+    _panel_silhouette_bars,
+)
+
+
 def create_comprehensive_analysis(embedding, labels, output_path):
-    """4-panel figure: labels / density / kmeans-in-embedding / legend view."""
+    """Multi-view analysis figure built from the panel registry."""
     labels = np.asarray(labels)
-    fig, axes = plt.subplots(2, 2, figsize=(15, 12))
+    n = len(_PANELS)
+    cols = 2
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(7 * cols, 5.5 * rows))
+    for ax, panel in zip(np.ravel(axes), _PANELS):
+        title = panel(ax, embedding, labels)
+        ax.set_title(title)
+    for ax in np.ravel(axes)[n:]:
+        ax.axis("off")
+    fig.suptitle("Embedding-space analysis", fontsize=14)
+    fig.tight_layout()
+    fig.savefig(output_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
 
-    sc = axes[0, 0].scatter(
-        embedding[:, 0], embedding[:, 1], c=labels, cmap="tab10", s=15, alpha=0.7
-    )
-    axes[0, 0].set_title("UMAP Projection by True Labels")
-    plt.colorbar(sc, ax=axes[0, 0])
 
-    axes[0, 1].hexbin(embedding[:, 0], embedding[:, 1], gridsize=30, cmap="Blues")
-    axes[0, 1].set_title("UMAP Density Plot")
+# --- reports: generated from metric metadata ------------------------------
 
-    n_clusters = len(np.unique(labels))
-    clusters = KMeans(n_clusters=n_clusters, random_state=42, n_init=10).fit_predict(
-        embedding
-    )
-    sc3 = axes[1, 0].scatter(
-        embedding[:, 0], embedding[:, 1], c=clusters, cmap="tab10", s=15, alpha=0.7
-    )
-    axes[1, 0].set_title("K-means Clusters in UMAP Space")
-    plt.colorbar(sc3, ax=axes[1, 0])
+# metric key -> (display label, reading direction)
+_METRIC_INFO = {
+    "silhouette_features": ("Silhouette Score (Features)", "higher is better, max 1.0"),
+    "silhouette_umap": ("Silhouette Score (UMAP)", "higher is better, max 1.0"),
+    "adjusted_rand_index": ("Adjusted Rand Index", "higher is better, max 1.0"),
+    "avg_intra_distance": ("Average Intra-class Distance", "lower is better"),
+    "avg_inter_distance": ("Average Inter-class Distance", "higher is better"),
+    "separation_ratio": ("Separation Ratio", "inter/intra, higher is better"),
+    "n_samples": ("Number of Samples", "points analyzed"),
+    "n_features": ("Number of Features", "feature dimensionality"),
+    "n_classes": ("Number of Classes", "unique labels"),
+}
 
-    colors = plt.cm.tab10(np.linspace(0, 1, n_clusters))
-    for i, label in enumerate(np.unique(labels)):
-        mask = labels == label
-        axes[1, 1].scatter(
-            embedding[mask, 0], embedding[mask, 1], c=[colors[i]],
-            label=f"Class {label}", s=15, alpha=0.7,
-        )
-    axes[1, 1].set_title("UMAP Projection with Class Labels")
-    axes[1, 1].legend(bbox_to_anchor=(1.05, 1), loc="upper left")
 
-    for ax in axes.flat:
-        ax.set_xlabel("UMAP 1")
-        ax.set_ylabel("UMAP 2")
-    plt.tight_layout()
-    plt.savefig(output_path, dpi=150, bbox_inches="tight")
-    plt.close()
+def _fmt(value) -> str:
+    return f"{value:.4f}" if isinstance(value, float) else str(value)
 
 
 def save_results(metrics, quality, feedback, output_dir):
-    rows = [
-        ("Overall Quality", quality, f"Features are {quality.lower()} quality"),
-        ("Silhouette Score (Features)", f"{metrics['silhouette_features']:.4f}", "Higher is better (max: 1.0)"),
-        ("Silhouette Score (UMAP)", f"{metrics['silhouette_umap']:.4f}", "Higher is better (max: 1.0)"),
-        ("Adjusted Rand Index", f"{metrics['adjusted_rand_index']:.4f}", "Higher is better (max: 1.0)"),
-        ("Average Intra-class Distance", f"{metrics['avg_intra_distance']:.4f}", "Distance within classes (lower is better)"),
-        ("Average Inter-class Distance", f"{metrics['avg_inter_distance']:.4f}", "Distance between classes (higher is better)"),
-        ("Separation Ratio", f"{metrics['separation_ratio']:.4f}", "Inter/Intra ratio (higher is better)"),
-        ("Number of Samples", metrics["n_samples"], "Total data points analyzed"),
-        ("Number of Features", metrics["n_features"], "Feature dimensionality"),
-        ("Number of Classes", metrics["n_classes"], "Number of unique classes"),
+    """CSV + plain-text quality report, generated from ``_METRIC_INFO``."""
+    records = [
+        {"Metric": "Overall Quality", "Value": quality,
+         "Interpretation": "rubric grade over cohesion/separation/agreement"}
     ]
-    for i, fb in enumerate(feedback):
-        rows.append((f"Quality Indicator {i + 1}", "✓", fb))
-    if metrics.get("sampled_for_computation", False):
-        rows.append(
-            ("Computation Method", "Sampled (2000 points)",
-             "Large dataset - used sampling for expensive computations")
+    for key, (label, direction) in _METRIC_INFO.items():
+        if key in metrics:
+            records.append(
+                {"Metric": label, "Value": _fmt(metrics[key]),
+                 "Interpretation": direction}
+            )
+    for i, note in enumerate(feedback, start=1):
+        records.append(
+            {"Metric": f"Quality Indicator {i}", "Value": "✓", "Interpretation": note}
         )
+    if metrics.get("sampled_for_computation"):
+        records.append(
+            {"Metric": "Computation Method", "Value": "stratified sample",
+             "Interpretation": "silhouette/ARI computed on ≤2000 points"}
+        )
+    frame = pd.DataFrame.from_records(records)
+    frame.to_csv(
+        os.path.join(output_dir, "umap_feature_quality_results.csv"), index=False
+    )
 
-    df = pd.DataFrame(rows, columns=["Metric", "Value", "Interpretation"])
-    df.to_csv(os.path.join(output_dir, "umap_feature_quality_results.csv"), index=False)
-
-    with open(os.path.join(output_dir, "umap_feature_quality_report.txt"), "w") as f:
-        f.write("UMAP Feature Quality Analysis Report\n")
-        f.write("=" * 40 + "\n\n")
-        f.write(f"Overall Assessment: {quality}\n\n")
-        f.write("Detailed Metrics:\n")
-        f.write("-" * 20 + "\n")
-        for _, row in df.iterrows():
-            if "Quality Indicator" not in row["Metric"]:
-                f.write(f"{row['Metric']}: {row['Value']}\n")
-                f.write(f"  → {row['Interpretation']}\n\n")
-        f.write("Quality Indicators:\n")
-        f.write("-" * 20 + "\n")
-        for fb in feedback:
-            f.write(f"• {fb}\n")
+    lines = [
+        "UMAP Feature Quality Analysis Report",
+        "=" * 40,
+        "",
+        f"Overall Assessment: {quality}",
+        "",
+        "Detailed Metrics:",
+        "-" * 20,
+    ]
+    for key, (label, direction) in _METRIC_INFO.items():
+        if key in metrics:
+            lines.append(f"{label}: {_fmt(metrics[key])}  ({direction})")
+    lines += ["", "Quality Indicators:", "-" * 20]
+    lines += [f"* {note}" for note in feedback]
+    with open(
+        os.path.join(output_dir, "umap_feature_quality_report.txt"), "w"
+    ) as fh:
+        fh.write("\n".join(lines) + "\n")
 
 
 def run_umap_analysis(features, labels, output_dir, umap_params: Optional[Dict] = None):
@@ -295,38 +347,35 @@ def run_umap_analysis(features, labels, output_dir, umap_params: Optional[Dict] 
 
 def create_3d_umap_animation(features, labels, output_dir, umap_params=None,
                              step_degrees: int = 4):
-    """Rotating 3D scatter GIF (90 frames at 4° steps by default,
-    `umap_visualization.py:378-447`)."""
+    """Rotating 3D scatter saved as ``umap_3d_rotation.gif`` via
+    matplotlib's animation API (FuncAnimation + PillowWriter)."""
+    from matplotlib import animation
+
     os.makedirs(output_dir, exist_ok=True)
     embedding = _project(np.asarray(features), 3, umap_params)
     labels = np.asarray(labels)
 
-    from PIL import Image
-    import io
-
     fig = plt.figure(figsize=(12, 9))
     ax = fig.add_subplot(111, projection="3d")
-    frames = []
-    for angle in range(0, 360, step_degrees):
-        ax.clear()
-        ax.scatter(
-            embedding[:, 0], embedding[:, 1], embedding[:, 2],
-            c=labels, cmap="Spectral", s=5, alpha=0.7,
-        )
-        ax.view_init(elev=20, azim=angle)
-        ax.set_title(f"3D UMAP - Rotation {angle}°")
-        ax.set_xlabel("UMAP 1")
-        ax.set_ylabel("UMAP 2")
-        ax.set_zlabel("UMAP 3")
-        buf = io.BytesIO()
-        fig.savefig(buf, format="png", dpi=80)
-        buf.seek(0)
-        frames.append(Image.open(buf).convert("P"))
-    plt.close(fig)
-
-    gif_path = os.path.join(output_dir, "umap_3d_rotation.gif")
-    frames[0].save(
-        gif_path, save_all=True, append_images=frames[1:], duration=100, loop=0
+    ax.scatter(
+        embedding[:, 0], embedding[:, 1], embedding[:, 2],
+        c=labels, cmap="Spectral", s=5, alpha=0.7,
     )
+    ax.set_xlabel("UMAP 1")
+    ax.set_ylabel("UMAP 2")
+    ax.set_zlabel("UMAP 3")
+
+    def spin(frame_idx):
+        angle = frame_idx * step_degrees
+        ax.view_init(elev=20, azim=angle)
+        ax.set_title(f"3D feature embedding — azimuth {angle}°")
+        return ()
+
+    anim = animation.FuncAnimation(
+        fig, spin, frames=360 // step_degrees, interval=100, blit=False
+    )
+    gif_path = os.path.join(output_dir, "umap_3d_rotation.gif")
+    anim.save(gif_path, writer=animation.PillowWriter(fps=10))
+    plt.close(fig)
     logger.info("3D animation saved to: %s", gif_path)
     return embedding

@@ -1,11 +1,17 @@
 """Unsupervised evaluation orchestrator (KNN / linear probe / UMAP).
 
-Parity with `/root/reference/evaluators/unsupervised_evaluator.py`:
+Capability parity with `/root/reference/evaluators/unsupervised_evaluator.py`:
 features are extracted once via the model's clean inference path and reused
-for every mode in ``eval.mode``; results land in
-``evaluation_summary.{csv,txt}``. Callable in-training (trainer passes the
-live bundle/state) or standalone (`evaluate.py`), where the experiment's
-saved config is merged back in.
+for every mode in ``eval.mode``; a combined summary lands in
+``evaluation_summary.{csv,txt}``. Callable in-training (the trainer passes
+the live bundle/state) or standalone (`evaluate.py`), where the
+experiment's saved config is merged back in.
+
+The orchestration is this framework's own design: evaluation modes are
+entries in a registry (mode name → runner), every runner returns a uniform
+:class:`EvalOutcome`, and the summary artifacts are rendered generically
+from the outcome list — adding an evaluation mode means registering one
+function, not editing report writers.
 
 Improvement over the reference (documented divergence): standalone
 evaluation loads the experiment's ``best_model`` checkpoint into the built
@@ -17,8 +23,8 @@ from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
 
 import pandas as pd
 
@@ -38,6 +44,28 @@ class EvalState:
     params: Any
     teacher_params: Any = None
     center: Any = None
+
+
+@dataclass
+class FeatureBank:
+    """Features extracted once, shared by every evaluation mode."""
+
+    train_features: Any
+    train_labels: Any
+    val_features: Any
+    val_labels: Any
+
+
+@dataclass
+class EvalOutcome:
+    """Uniform result record every mode runner returns."""
+
+    mode: str
+    method: str
+    headline: str  # one-line result, e.g. "Accuracy: 93.10%"
+    scalars: Dict[str, float] = field(default_factory=dict)
+    notes: List[str] = field(default_factory=list)
+    payload: Dict[str, Any] = field(default_factory=dict)  # arrays etc.
 
 
 def _default_transforms(img_size: int):
@@ -78,101 +106,177 @@ def load_model_state(config):
     return bundle, state
 
 
+# --- mode registry ----------------------------------------------------------
+
+
+def _run_knn(bank: FeatureBank, config, save_path) -> EvalOutcome:
+    res = run_knn_evaluation(
+        bank.train_features, bank.train_labels,
+        bank.val_features, bank.val_labels,
+        config["eval"]["num_classes"],
+    )
+    return EvalOutcome(
+        mode="eval_knn",
+        method="KNN",
+        headline=f"Accuracy: {res['accuracy'] * 100:.2f}%",
+        scalars={"accuracy": float(res["accuracy"])},
+        notes=[f"k={res.get('num_neighbors', '?')} (cosine)"],
+        payload=res,
+    )
+
+
+def _run_linear(bank: FeatureBank, config, save_path) -> EvalOutcome:
+    res = run_linear_evaluation(
+        bank.train_features, bank.train_labels,
+        bank.val_features, bank.val_labels,
+    )
+    return EvalOutcome(
+        mode="eval_linear",
+        method="LINEAR",
+        headline=f"Accuracy: {res['accuracy'] * 100:.2f}%",
+        scalars={"accuracy": float(res["accuracy"])},
+        notes=["Logistic Regression"],
+        payload=res,
+    )
+
+
+def _run_umap(bank: FeatureBank, config, save_path) -> EvalOutcome:
+    features, labels = prepare_combined_features(
+        bank.train_features, bank.train_labels,
+        bank.val_features, bank.val_labels,
+    )
+    embedding, metrics, quality, feedback = run_umap_analysis(
+        features, labels, save_path
+    )
+    return EvalOutcome(
+        mode="eval_umap",
+        method="UMAP",
+        headline=f"Quality: {quality}",
+        scalars={
+            k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))
+        },
+        notes=[f"Silhouette: {metrics['silhouette_features']:.3f}", *feedback],
+        payload={
+            "method": "umap",
+            "embedding": embedding,
+            "metrics": metrics,
+            "quality": quality,
+            "feedback": feedback,
+        },
+    )
+
+
+_MODE_REGISTRY: Dict[str, Callable[[FeatureBank, Any, str], EvalOutcome]] = {
+    "eval_knn": _run_knn,
+    "eval_linear": _run_linear,
+    "eval_umap": _run_umap,
+}
+
+
+def _requested_modes(config) -> List[str]:
+    modes = config["eval"]["mode"]
+    if not is_list(modes):
+        modes = [modes] if modes else []
+    return list(modes)
+
+
+def run_modes(config, bank: FeatureBank, save_path: str) -> List[EvalOutcome]:
+    """Dispatch every requested ``eval.mode`` through the registry."""
+    outcomes: List[EvalOutcome] = []
+    for mode in _requested_modes(config):
+        runner = _MODE_REGISTRY.get(mode)
+        if runner is None:
+            logger.warning("Unknown evaluation mode '%s' - skipping", mode)
+            continue
+        logger.info("Running evaluation mode: %s", mode)
+        outcomes.append(runner(bank, config, save_path))
+    return outcomes
+
+
+# --- summary rendering ------------------------------------------------------
+
+
+def render_summary(outcomes: List[EvalOutcome], output_path: str) -> None:
+    """`evaluation_summary.{csv,txt}` rendered generically from outcomes
+    (same artifact names/columns as the reference's summary so downstream
+    tooling keeps working)."""
+    if not outcomes:
+        return
+    os.makedirs(output_path, exist_ok=True)
+
+    def row(o: EvalOutcome) -> Dict[str, str]:
+        cells = {"Evaluation_Mode": o.mode, "Method": o.method}
+        label, _, value = o.headline.partition(": ")
+        cells[label] = value
+        if o.notes:
+            cells["Additional_Info"] = o.notes[0]
+        return cells
+
+    pd.DataFrame([row(o) for o in outcomes]).to_csv(
+        os.path.join(output_path, "evaluation_summary.csv"), index=False
+    )
+
+    blocks = ["Multi-Evaluation Summary Report", "=" * 40, ""]
+    for o in outcomes:
+        blocks.append(f"{o.mode.upper()}:")
+        blocks.append("-" * 20)
+        blocks.append(f"  Method: {o.method}")
+        blocks.append(f"  {o.headline}")
+        blocks.extend(f"  {note}" for note in o.notes)
+        blocks.append("")
+    with open(os.path.join(output_path, "evaluation_summary.txt"), "w") as fh:
+        fh.write("\n".join(blocks))
+    logger.info("Combined results saved to %s", output_path)
+
+
+# --- back-compat shims (round-1 public names) --------------------------------
+
+
 def run_multiple_evaluations(
     config, train_features, train_labels, val_features, val_labels, save_path
 ) -> Dict[str, Dict]:
-    eval_modes = config["eval"]["mode"]
-    if not is_list(eval_modes):
-        eval_modes = [eval_modes] if eval_modes else []
+    """Dict-shaped wrapper around :func:`run_modes` (kept for callers that
+    used the round-1 surface)."""
+    bank = FeatureBank(train_features, train_labels, val_features, val_labels)
+    outcomes = run_modes(config, bank, save_path)
+    return {o.mode: _as_legacy_dict(o) for o in outcomes}
 
-    results: Dict[str, Dict] = {}
-    for mode in eval_modes:
-        logger.info("Running evaluation mode: %s", mode)
-        if mode == "eval_knn":
-            results[mode] = run_knn_evaluation(
-                train_features,
-                train_labels,
-                val_features,
-                val_labels,
-                config["eval"]["num_classes"],
-            )
-        elif mode == "eval_linear":
-            results[mode] = run_linear_evaluation(
-                train_features, train_labels, val_features, val_labels
-            )
-        elif mode == "eval_umap":
-            features, labels = prepare_combined_features(
-                train_features, train_labels, val_features, val_labels
-            )
-            embedding, metrics, quality, feedback = run_umap_analysis(
-                features, labels, save_path
-            )
-            results[mode] = {
-                "method": "umap",
-                "embedding": embedding,
-                "metrics": metrics,
-                "quality": quality,
-                "feedback": feedback,
-            }
-        else:
-            logger.warning("Unknown evaluation mode '%s' - skipping", mode)
-    return results
+
+def _as_legacy_dict(o: EvalOutcome) -> Dict[str, Any]:
+    if o.mode == "eval_umap":
+        return dict(o.payload)
+    legacy = dict(o.payload)
+    legacy.setdefault("method", o.method.lower())
+    return legacy
 
 
 def save_combined_results(results: Dict[str, Dict], output_path: str) -> None:
-    """`evaluation_summary.{csv,txt}` (`unsupervised_evaluator.py:156-216`)."""
-    os.makedirs(output_path, exist_ok=True)
-    summary = []
-    for mode, result in results.items():
-        if result["method"] in ("knn", "linear"):
-            summary.append(
-                {
-                    "Evaluation_Mode": mode,
-                    "Method": result["method"].upper(),
-                    "Accuracy": f"{result['accuracy'] * 100:.2f}%",
-                    "Additional_Info": (
-                        f"k={result.get('num_neighbors', 'N/A')}"
-                        if result["method"] == "knn"
-                        else "Logistic Regression"
-                    ),
-                }
-            )
-        elif result["method"] == "umap":
-            summary.append(
-                {
-                    "Evaluation_Mode": mode,
-                    "Method": "UMAP",
-                    "Quality": result["quality"],
-                    "Additional_Info": (
-                        f"Silhouette: {result['metrics']['silhouette_features']:.3f}"
-                    ),
-                }
-            )
-    if not summary:
-        return
-    pd.DataFrame(summary).to_csv(
-        os.path.join(output_path, "evaluation_summary.csv"), index=False
-    )
-    with open(os.path.join(output_path, "evaluation_summary.txt"), "w") as f:
-        f.write("Multi-Evaluation Summary Report\n")
-        f.write("=" * 40 + "\n\n")
-        for mode, result in results.items():
-            f.write(f"{mode.upper()}:\n")
-            f.write("-" * 20 + "\n")
-            if result["method"] in ("knn", "linear"):
-                f.write(f"  Method: {result['method'].upper()}\n")
-                f.write(f"  Accuracy: {result['accuracy'] * 100:.2f}%\n")
-                if result["method"] == "knn":
-                    f.write(f"  Number of neighbors: {result['num_neighbors']}\n")
-            elif result["method"] == "umap":
-                f.write("  Method: UMAP\n")
-                f.write(f"  Quality: {result['quality']}\n")
-                f.write(
-                    f"  Silhouette Score: "
-                    f"{result['metrics']['silhouette_features']:.4f}\n"
+    """Legacy-dict wrapper around :func:`render_summary`."""
+    outcomes = []
+    for mode, res in results.items():
+        if res.get("method") == "umap":
+            outcomes.append(
+                EvalOutcome(
+                    mode=mode, method="UMAP",
+                    headline=f"Quality: {res['quality']}",
+                    notes=[f"Silhouette: {res['metrics']['silhouette_features']:.3f}"],
                 )
-            f.write("\n")
-    logger.info("Combined results saved to %s", output_path)
+            )
+        else:
+            outcomes.append(
+                EvalOutcome(
+                    mode=mode, method=str(res.get("method", "?")).upper(),
+                    headline=f"Accuracy: {res['accuracy'] * 100:.2f}%",
+                    notes=[
+                        f"k={res['num_neighbors']} (cosine)"
+                        if "num_neighbors" in res else "Logistic Regression"
+                    ],
+                )
+            )
+    render_summary(outcomes, output_path)
+
+
+# --- entry point -------------------------------------------------------------
 
 
 def run_evaluation(
@@ -182,8 +286,8 @@ def run_evaluation(
     save_path: Optional[str] = None,
     mesh=None,
 ) -> Dict[str, Dict]:
-    """Run ``eval.mode`` evaluations; features extracted once
-    (`unsupervised_evaluator.py:219-254`)."""
+    """Extract features once, dispatch every ``eval.mode``, render the
+    summary. Returns {mode: legacy-dict} for compatibility."""
     if save_path:
         os.makedirs(save_path, exist_ok=True)
 
@@ -197,12 +301,12 @@ def run_evaluation(
     train_loader, val_loader = prepare_dataloaders(
         config, transforms, config["eval"]["mode"]
     )
-    train_features, train_labels = extract_features(bundle, state, train_loader, mesh)
-    val_features, val_labels = extract_features(bundle, state, val_loader, mesh)
+    bank = FeatureBank(
+        *extract_features(bundle, state, train_loader, mesh),
+        *extract_features(bundle, state, val_loader, mesh),
+    )
 
     output_path = config["eval"].get("experiment_path") or save_path
-    results = run_multiple_evaluations(
-        config, train_features, train_labels, val_features, val_labels, output_path
-    )
-    save_combined_results(results, output_path)
-    return results
+    outcomes = run_modes(config, bank, output_path)
+    render_summary(outcomes, output_path)
+    return {o.mode: _as_legacy_dict(o) for o in outcomes}

@@ -27,6 +27,7 @@ from .flash_attention import (
     default_interpret,
     flash_attention_available,
     fused_attention,
+    fused_attention_profitable,
 )
 from .flash_blockwise import blockwise_attention
 from .initializers import InitScheme
@@ -121,14 +122,22 @@ class MultiHeadAttention(nn.Module):
         probs = None
         scale = 1.0 / float(d_head) ** 0.5
         if self.use_flash and not return_attn and n_q == n_k:
-            if flash_attention_available(n_q):
-                # short sequences: grouped single-tile kernel
-                context = fused_attention(q, k, v, scale, default_interpret())
-            else:
+            if not flash_attention_available(n_q):
                 # long sequences: O(N)-memory blockwise online-softmax
                 # kernel with full Pallas backward
                 context = blockwise_attention(
                     q, k, v, scale, interpret=default_interpret()
+                )
+            elif fused_attention_profitable(n_q, b * self.num_heads):
+                # ViT-scale sequences with enough batch·head parallelism:
+                # grouped single-tile kernel
+                context = fused_attention(q, k, v, scale, default_interpret())
+            else:
+                # tiny N (e.g. DINO 48px locals) / small batches: XLA's
+                # batched GEMM is measurably faster — use it (gate
+                # rationale in flash_attention.fused_attention_profitable)
+                context, _ = scaled_dot_product_attention(
+                    q, k, v, False, precision=self.matmul_precision
                 )
         else:
             context, probs = scaled_dot_product_attention(

@@ -13,9 +13,11 @@ Dropout keeps flax RNG semantics: the boolean keep-mask is drawn outside
 the kernel with the module's 'dropout' rng and streamed in as int8 (1 byte
 per element instead of a 4-byte activation).
 
-Backward is exact via ``jax.custom_vjp``: recompute-based (rematerialises
-the hidden activation from the saved input + mask), standard practice on
-TPU where FLOPs are cheaper than HBM bandwidth.
+Backward is exact via ``jax.custom_vjp`` and save-activation based: the
+training forward also writes the pre-GELU activation to HBM, and a second
+Pallas kernel computes dx plus the accumulated weight/bias gradients with
+GELU'/dropout fused in VMEM (round 1 used a pure-jnp recompute backward
+that lost to XLA's save-activation strategy; VERDICT r1 item 7).
 """
 
 from __future__ import annotations
@@ -57,15 +59,28 @@ def _gelu_exact(x):
     return x * 0.5 * (1.0 + _erf_poly(x * _SQRT2_INV))
 
 
-def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_grad(x):
+    # d/dx [x·Φ(x)] = Φ(x) + x·φ(x)
+    cdf = 0.5 * (1.0 + _erf_poly(x * _SQRT2_INV))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+    return cdf + x * pdf
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, pre_ref=None):
     x = x_ref[:]
-    h = jax.lax.dot_general(
+    pre = jax.lax.dot_general(
         x,
         w1_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
+    pre = pre + b1_ref[:].astype(jnp.float32)
+    if pre_ref is not None:
+        pre_ref[:] = pre.astype(pre_ref.dtype)
+    h = _gelu_exact(pre)
     o = jax.lax.dot_general(
         h.astype(x.dtype),
         w2_ref[:],
@@ -75,15 +90,20 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _mlp_dropout_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, o_ref, *, keep_prob):
+def _mlp_dropout_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, o_ref, pre_ref=None, *, keep_prob
+):
     x = x_ref[:]
-    h = jax.lax.dot_general(
+    pre = jax.lax.dot_general(
         x,
         w1_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
+    pre = pre + b1_ref[:].astype(jnp.float32)
+    if pre_ref is not None:
+        pre_ref[:] = pre.astype(pre_ref.dtype)
+    h = _gelu_exact(pre)
     h = h * (m_ref[:].astype(jnp.float32) / keep_prob)
     o = jax.lax.dot_general(
         h.astype(x.dtype),
@@ -94,8 +114,13 @@ def _mlp_dropout_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, o_ref, *, 
     o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _fused_mlp_impl(x, w1, b1, w2, b2, mask, keep_prob: float, interpret: bool):
-    """x: (T, d_in); mask: optional (T, d_ff) int8 keep-mask."""
+def _fused_mlp_impl(x, w1, b1, w2, b2, mask, keep_prob: float, interpret: bool,
+                    save_pre: bool = False):
+    """x: (T, d_in); mask: optional (T, d_ff) int8 keep-mask.
+
+    With ``save_pre`` (training forward) the pre-GELU activation is also
+    written out (input dtype, padded rows included) for the backward
+    kernel."""
     t, d_in = x.shape
     d_ff = w1.shape[1]
     d_out = w2.shape[1]
@@ -113,6 +138,7 @@ def _fused_mlp_impl(x, w1, b1, w2, b2, mask, keep_prob: float, interpret: bool):
     w2_spec = pl.BlockSpec((d_ff, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM)
     b2_spec = pl.BlockSpec((1, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((block_t, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pre_spec = pl.BlockSpec((block_t, d_ff), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     cost = pl.CostEstimate(
         flops=2 * t_pad * d_in * d_ff + 2 * t_pad * d_ff * d_out,
@@ -121,13 +147,18 @@ def _fused_mlp_impl(x, w1, b1, w2, b2, mask, keep_prob: float, interpret: bool):
         transcendentals=t_pad * d_ff,
     )
 
+    out_specs = (o_spec, pre_spec) if save_pre else o_spec
+    out_shape = jax.ShapeDtypeStruct((t_pad, d_out), x.dtype)
+    if save_pre:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((t_pad, d_ff), x.dtype))
+
     if mask is None:
         out = pl.pallas_call(
             _mlp_kernel,
             grid=grid,
             in_specs=[x_spec, w1_spec, b1_spec, w2_spec, b2_spec],
-            out_specs=o_spec,
-            out_shape=jax.ShapeDtypeStruct((t_pad, d_out), x.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             cost_estimate=cost,
             interpret=interpret,
         )(xp, w1, b1r, w2, b2r)
@@ -138,12 +169,132 @@ def _fused_mlp_impl(x, w1, b1, w2, b2, mask, keep_prob: float, interpret: bool):
             functools.partial(_mlp_dropout_kernel, keep_prob=keep_prob),
             grid=grid,
             in_specs=[x_spec, w1_spec, b1_spec, w2_spec, b2_spec, m_spec],
-            out_specs=o_spec,
-            out_shape=jax.ShapeDtypeStruct((t_pad, d_out), x.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             cost_estimate=cost,
             interpret=interpret,
         )(xp, w1, b1r, w2, b2r, mp)
+    if save_pre:
+        return out[0][:t], out[1]
     return out[:t]
+
+
+def _mlp_bwd_kernel(
+    x_ref, pre_ref, do_ref, w1_ref, w2_ref, m_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, keep_prob: float,
+):
+    """One row-block: dx for the block, weight/bias grads accumulated
+    across the sequential TPU grid (dw/db output blocks are revisited by
+    every cell; zero-initialised at cell 0)."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[:]
+    do = do_ref[:]
+    pre = pre_ref[:].astype(jnp.float32)
+    h = _gelu_exact(pre)
+    if m_ref is not None:
+        scale = m_ref[:].astype(jnp.float32) / keep_prob
+        h = h * scale
+    # dw2 += h_droppedᵀ @ do ; db2 += Σ_rows do
+    dw2_ref[:] += jax.lax.dot_general(
+        h.astype(x.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw2_ref.dtype)
+    db2_ref[:] += jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True).astype(
+        db2_ref.dtype
+    )
+    # dh = do @ w2ᵀ (through dropout), dpre = dh · gelu'(pre)
+    dh = jax.lax.dot_general(
+        do, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if m_ref is not None:
+        dh = dh * scale
+    dpre = (dh * _gelu_grad(pre)).astype(x.dtype)
+    # dw1 += xᵀ @ dpre ; db1 += Σ_rows dpre ; dx = dpre @ w1ᵀ
+    dw1_ref[:] += jax.lax.dot_general(
+        x, dpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dw1_ref.dtype)
+    db1_ref[:] += jnp.sum(dpre.astype(jnp.float32), axis=0, keepdims=True).astype(
+        db1_ref.dtype
+    )
+    dx = jax.lax.dot_general(
+        dpre, w1_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _fused_mlp_bwd_impl(x, pre_padded, do, w1, w2, mask, keep_prob: float,
+                        interpret: bool):
+    t, d_in = x.shape
+    d_ff = w1.shape[1]
+    d_out = w2.shape[1]
+    block_t = min(256, max(_round_up(t, 8), 8))
+    t_pad = _round_up(t, block_t)
+
+    xp = jnp.pad(x, ((0, t_pad - t), (0, 0)))
+    dop = jnp.pad(do.astype(x.dtype), ((0, t_pad - t), (0, 0)))
+    # the fwd pads to its own (possibly larger) block multiple
+    pre_p = pre_padded[:t_pad] if pre_padded.shape[0] >= t_pad else jnp.pad(
+        pre_padded, ((0, t_pad - pre_padded.shape[0]), (0, 0))
+    )
+
+    grid = (t_pad // block_t,)
+    x_spec = pl.BlockSpec((block_t, d_in), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pre_spec = pl.BlockSpec((block_t, d_ff), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((block_t, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((d_in, d_ff), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((d_ff, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dx_spec = pl.BlockSpec((block_t, d_in), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dw1_spec = pl.BlockSpec((d_in, d_ff), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    db1_spec = pl.BlockSpec((1, d_ff), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dw2_spec = pl.BlockSpec((d_ff, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    db2_spec = pl.BlockSpec((1, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [x_spec, pre_spec, do_spec, w1_spec, w2_spec]
+    inputs = [xp, pre_p, dop, w1, w2]
+    if mask is not None:
+        mp = jnp.pad(mask.astype(jnp.int8), ((0, t_pad - t), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec((block_t, d_ff), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(mp)
+        kernel = functools.partial(_mlp_bwd_kernel, keep_prob=keep_prob)
+    else:
+        kernel = functools.partial(
+            lambda *refs, keep_prob: _mlp_bwd_kernel(
+                *refs[:5], None, *refs[5:], keep_prob=keep_prob
+            ),
+            keep_prob=keep_prob,
+        )
+
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(dx_spec, dw1_spec, db1_spec, dw2_spec, db2_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, d_in), x.dtype),
+            jax.ShapeDtypeStruct((d_in, d_ff), jnp.float32),
+            jax.ShapeDtypeStruct((1, d_ff), jnp.float32),
+            jax.ShapeDtypeStruct((d_ff, d_out), jnp.float32),
+            jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * t_pad * d_in * d_ff,
+            bytes_accessed=(2 * t_pad * d_ff + 2 * t_pad * d_in + 2 * d_in * d_ff)
+            * x.dtype.itemsize,
+            transcendentals=2 * t_pad * d_ff,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return dx[:t], dw1, db1.reshape(-1), dw2, db2.reshape(-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -153,35 +304,17 @@ def fused_mlp(x, w1, b1, w2, b2, mask, keep_prob: float = 1.0, interpret: bool =
 
 
 def _fwd(x, w1, b1, w2, b2, mask, keep_prob, interpret):
-    out = _fused_mlp_impl(x, w1, b1, w2, b2, mask, keep_prob, interpret)
-    return out, (x, w1, b1, w2, mask)
+    out, pre = _fused_mlp_impl(
+        x, w1, b1, w2, b2, mask, keep_prob, interpret, save_pre=True
+    )
+    return out, (x, w1, b1, w2, mask, pre)
 
 
 def _bwd(keep_prob, interpret, res, do):
-    del interpret
-    x, w1, b1, w2, mask = res
-    xf = x.astype(jnp.float32)
-    w1f, b1f, w2f = w1.astype(jnp.float32), b1.astype(jnp.float32), w2.astype(jnp.float32)
-    dof = do.astype(jnp.float32)
-
-    pre = jnp.dot(xf, w1f, precision=jax.lax.Precision.HIGHEST) + b1f
-    h, gelu_vjp = jax.vjp(_gelu_exact, pre)
-    if mask is not None:
-        scale = mask.astype(jnp.float32) / keep_prob
-        h_dropped = h * scale
-    else:
-        scale = None
-        h_dropped = h
-
-    dw2 = jnp.dot(h_dropped.T, dof, precision=jax.lax.Precision.HIGHEST)
-    db2 = jnp.sum(dof, axis=0)
-    dh = jnp.dot(dof, w2f.T, precision=jax.lax.Precision.HIGHEST)
-    if scale is not None:
-        dh = dh * scale
-    (dpre,) = gelu_vjp(dh)
-    dw1 = jnp.dot(xf.T, dpre, precision=jax.lax.Precision.HIGHEST)
-    db1 = jnp.sum(dpre, axis=0)
-    dx = jnp.dot(dpre, w1f.T, precision=jax.lax.Precision.HIGHEST)
+    x, w1, b1, w2, mask, pre = res
+    dx, dw1, db1, dw2, db2 = _fused_mlp_bwd_impl(
+        x, pre, do, w1, w2, mask, keep_prob, interpret
+    )
     return (
         dx.astype(x.dtype),
         dw1.astype(w1.dtype),

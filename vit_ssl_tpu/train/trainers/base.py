@@ -249,4 +249,17 @@ class BaseTrainer(ABC):
 
     @staticmethod
     def _fetch(scalars) -> Dict[str, np.ndarray]:
+        if jax.process_count() > 1:
+            # batch-sharded outputs (per-sample preds/labels) span hosts;
+            # gather them so every process computes identical epoch metrics
+            from jax.experimental import multihost_utils
+
+            def fetch_one(x):
+                if getattr(x, "is_fully_addressable", True):
+                    return jax.device_get(x)
+                if getattr(x, "is_fully_replicated", False):
+                    return np.asarray(x)
+                return multihost_utils.process_allgather(x, tiled=True)
+
+            return jax.tree_util.tree_map(fetch_one, scalars)
         return jax.device_get(scalars)

@@ -8,10 +8,16 @@ on the available accelerator, and the PyTorch reference's eager train-step
 on CPU (the baseline hardware — the reference has no TPU path), by
 importing the read-only reference package as the oracle when present.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Honest denominators (VERDICT r1 weakness 3): per mode the bench reports
+ms/step, analytic FLOPs, MFU vs the v5e bf16 peak, and the same step with
+``use_flash=false`` (pure-XLA kernels) so a kernel regression is visible
+as ``vs_xla`` < 1 regardless of how large ``vs_baseline`` is.
 
-Usage: python bench.py [--quick] [--mode dino] [--batch 128]
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "ms_per_step": N, "mfu": N, "vs_xla": N, "modes": {...}}
+
+Usage: python bench.py [--quick] [--mode dino] [--batch 128] [--all-modes]
 """
 
 from __future__ import annotations
@@ -33,16 +39,132 @@ VIT_S = dict(
     patch=8, img=96, local_img=48, output_dim=16384, ng=2, na=6,
 )
 
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip (public spec).
+PEAK_FLOPS = {"tpu": 197e12}
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_mode(mode: str, batch: int, warmup: int, iters: int) -> float:
-    """Step throughput for supervised/simmim at ViT-S reference configs
-    (secondary metrics; the headline JSON line stays DINO)."""
-    import time as _time
+def peak_flops() -> float:
+    import jax
 
+    return PEAK_FLOPS.get(jax.default_backend(), float("nan"))
+
+
+# ---------------------------------------------------------------------------
+# Analytic FLOPs (2·MACs convention; LN/softmax/elementwise ignored — they
+# are <2% of a ViT's FLOPs at these widths)
+# ---------------------------------------------------------------------------
+
+
+def vit_fwd_flops(batch: int, seq: int, depth: int, d: int, d_ff: int,
+                  patch_dim: int) -> float:
+    """One forward pass of a ViT encoder stack over `batch` sequences."""
+    embed = 2 * batch * seq * patch_dim * d
+    per_layer = (
+        2 * batch * seq * d * (4 * d)        # q/k/v/out projections
+        + 2 * batch * seq * seq * d * 2      # scores + context
+        + 2 * batch * seq * d * d_ff * 2     # MLP up + down
+    )
+    return embed + depth * per_layer
+
+
+def dino_head_fwd_flops(batch: int, d: int, hidden: int, out: int) -> float:
+    return 2 * batch * (d * hidden + hidden * hidden + hidden * d + d * out)
+
+
+def dino_step_flops(batch: int, cfg=VIT_S) -> float:
+    """Analytic FLOPs of one DINO train step (student fwd+bwd on all
+    views, teacher fwd on globals; bwd ≈ 2× fwd)."""
+    d, depth, d_ff = cfg["embed_dim"], cfg["num_blocks"], cfg["mlp_dim"]
+    p = cfg["patch"]
+    seq_g = (cfg["img"] // p) ** 2 + 1
+    seq_l = (cfg["local_img"] // p) ** 2 + 1
+    ng, nl = cfg["ng"], cfg["na"] - cfg["ng"]
+    patch_dim = 3 * p * p
+
+    def net_fwd(b, seq):
+        return vit_fwd_flops(b, seq, depth, d, d_ff, patch_dim) + \
+            dino_head_fwd_flops(b, d, 2048, cfg["output_dim"])
+
+    student = net_fwd(batch * ng, seq_g) + net_fwd(batch * nl, seq_l)
+    teacher = net_fwd(batch * ng, seq_g)
+    return 3 * student + teacher  # fwd + 2×fwd (bwd) + teacher fwd
+
+
+def supervised_step_flops(batch: int, img: int = 192, patch: int = 16) -> float:
+    seq = (img // patch) ** 2 + 1
+    fwd = vit_fwd_flops(batch, seq, 6, 384, 1536, 3 * patch * patch)
+    return 3 * fwd
+
+
+def simmim_step_flops(batch: int, img: int = 192, patch: int = 16) -> float:
+    seq = (img // patch) ** 2
+    fwd = vit_fwd_flops(batch, seq, 6, 384, 1536, 3 * patch * patch)
+    head = 2 * batch * seq * 384 * (3 * patch * patch)
+    return 3 * (fwd + head)
+
+
+# ---------------------------------------------------------------------------
+# Step benchmarks
+# ---------------------------------------------------------------------------
+
+
+def measure_steps(step_once, state, reps: int, outer: int) -> float:
+    """Seconds per step, measured robustly against the axon tunnel.
+
+    ``block_until_ready`` through the tunnel can return before the work is
+    done (observed: supervised 'steps' of 0.9 ms = 7x over peak MFU before
+    the device→host channel is initialised), so timing uses (a) ``reps``
+    steps chained inside ONE jitted ``lax.scan`` — one dispatch, real
+    data dependence — and (b) a scalar VALUE fetch as the barrier, with
+    the fetch round-trip measured and subtracted.
+    """
+    import jax
+
+    @jax.jit
+    def run_chunk(s):
+        def body(carry, _):
+            carry, loss = step_once(carry)
+            return carry, loss
+
+        s, losses = jax.lax.scan(body, s, None, length=reps)
+        return s, losses[-1]
+
+    state, loss = run_chunk(state)  # compile + warm
+    float(loss)
+    t0 = time.perf_counter()
+    rtt = 0.0
+    for _ in range(3):  # fetch round-trip of an already-computed scalar
+        t = time.perf_counter()
+        float(loss)
+        rtt = max(rtt, time.perf_counter() - t)
+    t0 = time.perf_counter()
+    for _ in range(outer):
+        state, loss = run_chunk(state)
+    float(loss)
+    dt = time.perf_counter() - t0 - rtt
+    return max(dt, 1e-9) / (reps * outer)
+
+
+def _model_common(use_flash: bool, img: int):
+    import jax
+    import jax.numpy as jnp
+
+    return dict(
+        num_blocks=6, input_shape=(3, img, img), embed_dim=384,
+        patch_size=16, num_heads=6, mlp_dim=1536, dropout=0.1,
+        dtype=jnp.bfloat16,
+        use_flash=use_flash and jax.default_backend() == "tpu",
+        use_fused_mlp=False,
+    )
+
+
+def bench_mode(mode: str, batch: int, warmup: int, iters: int,
+               use_flash: bool = True) -> dict:
+    """Step throughput for supervised/simmim at ViT-S reference configs."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -56,12 +178,7 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int) -> float:
     iters = max(iters, 10)  # short timing loops mis-measure on this tunnel
     rs = np.random.RandomState(0)
     img, patch = 192, 16
-    common = dict(
-        num_blocks=6, input_shape=(3, img, img), embed_dim=384,
-        patch_size=patch, num_heads=6, mlp_dim=1536, dropout=0.1,
-        dtype=jnp.bfloat16,
-        use_flash=jax.default_backend() == "tpu", use_fused_mlp=False,
-    )
+    common = _model_common(use_flash, img)
     tx = optax.adamw(1e-4, weight_decay=1e-3)
     image = jax.device_put((rs.rand(batch, img, img, 3) * 255).astype(np.uint8))
     weight = jax.device_put(np.ones(batch, np.float32))
@@ -74,6 +191,7 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int) -> float:
         b = {"image": image, "label": jax.device_put(rs.randint(0, 10, batch).astype(np.int32)),
              "weight": weight}
         run = lambda s: step(s, b)  # noqa: E731
+        flops = supervised_step_flops(batch, img, patch)
     elif mode == "simmim":
         model = SimMIMViT(mask_ratio=0.5, **common)
         variables = model.init(
@@ -84,22 +202,26 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int) -> float:
         step, _ = make_simmim_steps(model, tx, patch_size=patch, channels=3)
         b = {"image": image, "weight": weight}
         run = lambda s: step(s, b)  # noqa: E731
+        flops = simmim_step_flops(batch, img, patch)
     else:
         raise ValueError(mode)
 
-    for _ in range(warmup):
-        state, out = run(state)
-    jax.block_until_ready(out["loss"])
-    t0 = _time.perf_counter()
-    for _ in range(iters):
-        state, out = run(state)
-    jax.block_until_ready(out["loss"])
-    ips = batch * iters / (_time.perf_counter() - t0)
-    log(f"[ours/{mode}] {ips:.1f} images/sec/chip")
-    return ips
+    def step_once(s):
+        s2, out = run(s)
+        return s2, out["loss"]
+
+    reps, outer = (10, 1) if iters <= 3 else (40, 2)
+    sec = measure_steps(step_once, state, reps, outer)
+    ms = sec * 1e3
+    ips = batch / sec
+    mfu = flops / sec / peak_flops()
+    log(f"[ours/{mode}{'' if use_flash else '/xla'}] {ips:.1f} img/s/chip, "
+        f"{ms:.2f} ms/step, {flops/1e12:.2f} TFLOP/step, MFU {mfu:.1%}")
+    return {"images_per_sec": ips, "ms_per_step": ms, "tflop_per_step": flops / 1e12,
+            "mfu": mfu}
 
 
-def bench_ours(batch: int, warmup: int, iters: int) -> float:
+def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -140,7 +262,7 @@ def bench_ours(batch: int, warmup: int, iters: int) -> float:
         dropout=0.1,
         output_dim=cfg["output_dim"],
         dtype=jnp.bfloat16,
-        use_flash=jax.default_backend() == "tpu",  # grouped Pallas kernel (see configs/base/model.yaml)
+        use_flash=use_flash and jax.default_backend() == "tpu",
         use_fused_mlp=False,
     )
     rng = jax.random.PRNGKey(0)
@@ -186,22 +308,23 @@ def bench_ours(batch: int, warmup: int, iters: int) -> float:
     )
     t_temp, t_mom = jnp.float32(0.04), jnp.float32(0.996)
 
-    t0 = time.perf_counter()
-    for _ in range(warmup):
-        state, out = train_step(state, batch_dict, t_temp, t_mom)
-    jax.block_until_ready(out["loss"])
-    log(f"[ours] compile+warmup: {time.perf_counter() - t0:.1f}s")
+    def step_once(s):
+        s2, out = train_step(s, batch_dict, t_temp, t_mom)
+        return s2, out["loss"]
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, out = train_step(state, batch_dict, t_temp, t_mom)
-    jax.block_until_ready(out["loss"])
-    dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+    reps, outer = (3, 1) if iters <= 3 else (6, 2)
+    sec = measure_steps(step_once, state, reps, outer)
+    log(f"[ours] compile+measure wall: {time.perf_counter() - t0:.1f}s")
+    ips = batch / sec
+    ms = sec * 1e3
+    flops = dino_step_flops(batch)
+    mfu = flops / sec / peak_flops()
     d2h_warmup.join()
-    log(f"[ours] {iters} steps in {dt:.2f}s -> {ips:.1f} images/sec/chip "
-        f"(loss={float(out['loss']):.4f})")
-    return ips
+    log(f"[ours/dino{'' if use_flash else '/xla'}] {ips:.1f} img/s/chip, "
+        f"{ms:.2f} ms/step, {flops/1e12:.2f} TFLOP/step, MFU {mfu:.1%}")
+    return {"images_per_sec": ips, "ms_per_step": ms,
+            "tflop_per_step": flops / 1e12, "mfu": mfu}
 
 
 BASELINE_CACHE = Path(__file__).resolve().parent / "BENCH_BASELINE_CACHE.json"
@@ -290,6 +413,10 @@ def main(argv=None):
         "--all-modes", action="store_true",
         help="also bench supervised + simmim step throughput (stderr)",
     )
+    parser.add_argument(
+        "--no-xla-compare", action="store_true",
+        help="skip the use_flash=false XLA-only comparison runs",
+    )
     parser.add_argument("--baseline-batch", type=int, default=8)
     parser.add_argument("--skip-baseline", action="store_true")
     args = parser.parse_args(argv)
@@ -297,21 +424,53 @@ def main(argv=None):
     warmup, iters = (1, 3) if args.quick else (3, 10)
     base_iters = 2 if args.quick else 3
 
+    # warm the one-time device->host channel init (~400 s on the axon
+    # tunnel) in the background so it overlaps the first compile — every
+    # measurement synchronises on a real value fetch
+    def _warm():
+        import jax.numpy as jnp
+
+        float(jnp.zeros(()))
+
+    threading.Thread(target=_warm, daemon=True).start()
+
+    modes = {}
     if args.all_modes:
-        bench_mode("supervised", args.batch, warmup, iters)
-        bench_mode("simmim", args.batch, warmup, iters)
+        for mode in ("supervised", "simmim"):
+            modes[mode] = bench_mode(mode, args.batch, warmup, iters)
+            if not args.no_xla_compare:
+                xla = bench_mode(mode, args.batch, warmup, iters, use_flash=False)
+                modes[mode]["vs_xla"] = xla["ms_per_step"] / modes[mode]["ms_per_step"]
+                modes[f"{mode}_xla"] = xla
+
     ours = bench_ours(args.batch, warmup, iters)
+    modes["dino"] = ours
+    if not args.no_xla_compare:
+        xla = bench_ours(args.batch, warmup, iters, use_flash=False)
+        ours["vs_xla"] = xla["ms_per_step"] / ours["ms_per_step"]
+        modes["dino_xla"] = xla
+
     if args.skip_baseline:
         baseline = float("nan")
     else:
         baseline = bench_reference_cpu(args.baseline_batch, base_iters)
 
-    vs = (ours / baseline) if baseline == baseline and baseline > 0 else None
+    ips = ours["images_per_sec"]
+    vs = (ips / baseline) if baseline == baseline and baseline > 0 else None
     result = {
         "metric": "dino_vit_s_pretrain_throughput",
-        "value": round(ours, 2),
+        "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "ms_per_step": round(ours["ms_per_step"], 2),
+        "mfu": round(ours["mfu"], 4),
+        "vs_xla": round(ours.get("vs_xla", float("nan")), 3)
+        if "vs_xla" in ours else None,
+        "modes": {
+            k: {kk: (round(vv, 4) if vv == vv else None)
+                for kk, vv in v.items()}
+            for k, v in modes.items()
+        },
     }
     print(json.dumps(result), flush=True)
     return result

@@ -123,16 +123,23 @@ class SimMIMViT(nn.Module):
             tokens = block(tokens, deterministic, False)
         return tokens
 
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, mask=None
+    ):
         """Masked forward. x: (B, H, W, C) NHWC.
 
         Returns (predictions, targets, bool_mask):
         predictions (B, N, C·p²) fp32, targets (B, N, C·p²), mask (B, N).
+        ``mask`` injects an externally drawn (B, N) bool mask (oracle
+        parity studies, visualizers); None draws from the 'mask' rng.
         """
         b = x.shape[0]
         patches = extract_patches(x, self.patch_size)  # (B, N, C·p²) targets
-        rng = self.make_rng("mask")
-        bool_mask = make_random_mask(rng, b, patches.shape[1], self.mask_ratio)
+        if mask is not None:
+            bool_mask = mask.astype(bool)
+        else:
+            rng = self.make_rng("mask")
+            bool_mask = make_random_mask(rng, b, patches.shape[1], self.mask_ratio)
 
         tokens = self.projection(patches.astype(self.dtype))
         tokens = jnp.where(

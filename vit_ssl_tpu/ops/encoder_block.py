@@ -36,9 +36,11 @@ class EncoderBlock(nn.Module):
         return_attn: bool = False,
     ):
         ln1 = nn.LayerNorm(
+            epsilon=1e-5,  # torch nn.LayerNorm default (parity)
             dtype=jnp.float32, param_dtype=self.param_dtype, name="layer_norm1"
         )
         ln2 = nn.LayerNorm(
+            epsilon=1e-5,  # torch nn.LayerNorm default (parity)
             dtype=jnp.float32, param_dtype=self.param_dtype, name="layer_norm2"
         )
         attention = MultiHeadAttention(

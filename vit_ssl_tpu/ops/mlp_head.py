@@ -25,6 +25,7 @@ class MLPHead(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         init = InitScheme(self.init_scheme)
         x = nn.LayerNorm(
+            epsilon=1e-5,  # torch nn.LayerNorm default (parity)
             dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
         )(x)
         # Logits in fp32: the final projection feeds softmax-CE directly.

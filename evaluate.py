@@ -36,7 +36,13 @@ def main(argv=None):
     parser.add_argument("--config-name", "-cn", default="eval_config")
     parser.add_argument("--config-path", "-cp", default="configs")
     parser.add_argument("overrides", nargs="*")
+    parser.add_argument("-m", "--multirun", action="store_true")
     args = parser.parse_args(argv)
+    if args.multirun:
+        raise SystemExit(
+            "Multirun (-m/--multirun) is intentionally not implemented; "
+            "sweep with a shell loop over single runs."
+        )
 
     from vit_ssl_tpu.config import compose, validate_eval_config
 

@@ -204,3 +204,57 @@ def test_self_position_controls_override_priority():
     )
     assert compose(d, "r1").p.x == 1
     assert compose(d, "r2").p.x == 99
+
+
+# --- config-group overrides (round 2: VERDICT r1 item 9) -------------------
+
+
+def test_group_override_full_key():
+    # select the ViT-B option for the base model group
+    cfg = compose("configs", "supervised", overrides=["base@model=model_vit_b"])
+    assert cfg.model.embed_dim == 768
+    assert cfg.model.num_blocks == 12
+    # the mode-specific model group still layers on top (defaults order)
+    assert cfg.model.num_classes is not None
+
+
+def test_group_override_composes_with_dotlist():
+    cfg = compose(
+        "configs", "supervised",
+        overrides=["base@model=model_vit_b", "model.num_heads=16"],
+    )
+    assert cfg.model.embed_dim == 768
+    assert cfg.model.num_heads == 16
+
+
+def test_group_override_unknown_option_lists_choices():
+    import pytest
+
+    with pytest.raises(ValueError, match="Available options"):
+        compose("configs", "supervised", overrides=["base@model=nonexistent"])
+
+
+def test_group_override_unmatched_key_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="did not match any"):
+        compose("configs", "supervised", overrides=["dino@model=model"])
+
+
+def test_plus_group_addition():
+    cfg = compose(
+        "configs", "supervised", overrides=["+base@extra_model: model".replace(": ", "=")]
+    )
+    assert cfg.extra_model.embed_dim == 384
+
+
+def test_multirun_rejected():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "train.py", "-m", "training.num_epochs=1"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode != 0
+    assert "not implemented" in (out.stderr + out.stdout)

@@ -42,9 +42,23 @@ def parse_args(argv=None):
         "--config-path", "-cp", default="configs", help="config directory"
     )
     parser.add_argument(
-        "overrides", nargs="*", help="hydra-style dotlist overrides (a.b=c)"
+        "overrides", nargs="*",
+        help="hydra-style overrides: dotlist (a.b=c) and config groups "
+             "(group@package=option, +group@package=option)",
     )
-    return parser.parse_args(argv)
+    parser.add_argument(
+        "-m", "--multirun", action="store_true",
+        help="NOT supported — see the error message",
+    )
+    args = parser.parse_args(argv)
+    if args.multirun:
+        raise SystemExit(
+            "Multirun (-m/--multirun) is intentionally not implemented in "
+            "this framework. Sweep with a shell loop over single runs, "
+            "e.g.: for lr in 1e-4 3e-4; do python train.py "
+            "training.warmup_final_learning_rate=$lr; done"
+        )
+    return args
 
 
 def get_save_path(config) -> str:

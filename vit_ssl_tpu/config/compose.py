@@ -11,8 +11,15 @@ reference's YAML tree works one-line-compatibly:
 - ``${a.b}`` interpolation against the composed root and ``${now:fmt}``
   (``/root/reference/configs/base/training.yaml``, ``configs/dino.yaml:16-18``),
 - dotlist CLI overrides (``training.type=finetune``),
+- config-GROUP overrides (``dino/training=fast`` replaces which option
+  file a defaults-list entry selects; ``+group=option`` appends a new
+  group at its package path; unknown groups/options fail with the
+  available choices, matching Hydra's behavior),
 - dict/attribute dual access plus ``.get`` (the reference mixes
   ``config["training"]["type"]`` and ``config.training.teacher_temp``).
+
+Multirun (``-m``/``--multirun``) is intentionally NOT implemented — the
+entry points reject it with guidance (run a shell loop over single runs).
 
 Pure Python + PyYAML; no torch / no JAX so it is importable everywhere.
 """
@@ -271,10 +278,19 @@ def resolve(cfg: Config, root: Optional[Config] = None) -> Config:
 # Defaults-list composition
 # --------------------------------------------------------------------------
 
-def _compose_file(config_dir: Path, rel: str, package: Optional[str]) -> Config:
+def _compose_file(
+    config_dir: Path,
+    rel: str,
+    package: Optional[str],
+    group_overrides: Optional[Dict[str, str]] = None,
+    consumed: Optional[set] = None,
+) -> Config:
     """Load one YAML file, recursively applying its own defaults list.
 
     ``rel`` is relative to ``config_dir`` and may omit the .yaml suffix.
+    ``group_overrides`` maps a defaults-list key (``group`` or
+    ``group@package``) to a replacement option name — the CLI group
+    override; matched keys are recorded in ``consumed``.
     """
     name = rel if rel.endswith((".yaml", ".yml")) else rel + ".yaml"
     path = config_dir / name
@@ -302,7 +318,10 @@ def _compose_file(config_dir: Path, rel: str, package: Optional[str]) -> Config:
             # YAML content here, validation happens in schemas.py.
             candidate = entry if entry.endswith((".yaml", ".yml")) else entry + ".yaml"
             if (config_dir / candidate).exists():
-                merge(out, _compose_file(config_dir, entry, None))
+                merge(
+                    out,
+                    _compose_file(config_dir, entry, None, group_overrides, consumed),
+                )
             continue
         if isinstance(entry, dict):
             (key, value), = entry.items()
@@ -312,6 +331,15 @@ def _compose_file(config_dir: Path, rel: str, package: Optional[str]) -> Config:
                 group, pkg = key.split("@", 1)
             else:
                 group, pkg = key, key
+            # CLI group override: exact "group@pkg" key wins, else a bare
+            # "group" key when the entry's package IS the group
+            if group_overrides:
+                if key in group_overrides:
+                    value = group_overrides[key]
+                    consumed.add(key)
+                elif group in group_overrides and pkg == group:
+                    value = group_overrides[group]
+                    consumed.add(group)
             sub = _compose_file(config_dir, f"{group}/{value}", None)
             if "_list_" in sub and len(sub) == 1:
                 payload: Any = [to_container(v) for v in sub["_list_"]]
@@ -358,6 +386,42 @@ def apply_overrides(cfg: Config, overrides: Iterable[str]) -> Config:
     return cfg
 
 
+def _partition_overrides(config_dir: Path, overrides: List[str]):
+    """Split CLI overrides into (group replacements, group additions,
+    dotlist). A group override is ``key=option`` where key has no '.' and
+    names a config-group directory; ``+key=option`` appends the group."""
+    group_ovs: Dict[str, str] = {}
+    additions = []  # (group, package, option)
+    dotlist: List[str] = []
+    for ov in overrides or []:
+        s = ov.strip()
+        if not s or s.startswith("~"):
+            dotlist.append(s)
+            continue
+        key, eq, value = s.partition("=")
+        plus = key.startswith("+")
+        k = key.lstrip("+").strip()
+        group = k.split("@", 1)[0]
+        if eq and k and "." not in k and (config_dir / group).is_dir():
+            option = value.strip()
+            if not (config_dir / group / f"{option}.yaml").exists():
+                avail = sorted(
+                    p.stem for p in (config_dir / group).glob("*.yaml")
+                )
+                raise ValueError(
+                    f"Config group '{group}' has no option '{option}'. "
+                    f"Available options: {avail}"
+                )
+            if plus:
+                pkg = k.split("@", 1)[1] if "@" in k else group
+                additions.append((group, pkg, option))
+            else:
+                group_ovs[k] = option
+            continue
+        dotlist.append(s)
+    return group_ovs, additions, dotlist
+
+
 def compose(
     config_dir: Union[str, Path],
     config_name: str = "config",
@@ -366,12 +430,35 @@ def compose(
     """Compose a config the way ``@hydra.main`` does for the reference.
 
     Mirrors `/root/reference/train.py:103` (`config_path="configs",
-    config_name="config"`): load the root, walk defaults lists, apply CLI
-    dotlist overrides, then resolve interpolations.
+    config_name="config"`): load the root, walk defaults lists (applying
+    any CLI config-GROUP overrides), append ``+group=option`` additions,
+    apply dotlist overrides, then resolve interpolations.
     """
     config_dir = Path(config_dir)
-    cfg = _compose_file(config_dir, config_name, None)
-    apply_overrides(cfg, overrides or [])
+    group_ovs, additions, dotlist = _partition_overrides(
+        config_dir, overrides or []
+    )
+    consumed: set = set()
+    cfg = _compose_file(config_dir, config_name, None, group_ovs, consumed)
+    unused = set(group_ovs) - consumed
+    if unused:
+        raise ValueError(
+            f"Config-group override(s) {sorted(unused)} did not match any "
+            f"defaults-list entry of '{config_name}'. Use the full "
+            f"'group@package=option' form shown in the config's defaults "
+            f"list, or '+group@package=option' to append a new group."
+        )
+    for group, pkg, option in additions:
+        sub = _compose_file(config_dir, f"{group}/{option}", None)
+        if "_list_" in sub and len(sub) == 1:
+            payload: Any = [to_container(v) for v in sub["_list_"]]
+        else:
+            payload = sub
+        if pkg in ("", "_global_"):
+            merge(cfg, payload)
+        else:
+            _set_by_path(cfg, pkg, payload)
+    apply_overrides(cfg, dotlist)
     resolve(cfg)
     return cfg
 

@@ -43,12 +43,17 @@ def _load_image(path: str) -> np.ndarray:
 
 
 class _DecodeCache:
-    """Optional in-memory decoded-image cache (uint8 HWC arrays).
+    """Optional in-memory decoded-sample cache (uint8 HWC arrays).
 
     With device-side augmentation the per-sample host work is just
     decode+resize, which repeats identically every epoch; caching removes
-    it entirely after epoch 1. Enable with ``data.cache_decoded: true``
-    (budget: raw uint8 bytes — STL10 unlabeled at 96px is ~2.6 GB)."""
+    it entirely after epoch 1. When the dataset's transform pipeline is
+    deterministic (`transforms.is_deterministic` — the device-augment
+    contract), the *post-transform* sample is cached, so epoch ≥ 2 pays
+    neither decode nor resize and holds only img_size-bytes per sample.
+    Random pipelines fall back to caching the raw decode. Enable with
+    ``data.cache_decoded: true`` (budget: uint8 bytes — STL10 unlabeled
+    resized to 96px is ~1.3 GB)."""
 
     def __init__(self, enabled: bool = False):
         self.enabled = enabled
@@ -60,6 +65,23 @@ class _DecodeCache:
         hit = self._store.get(path)
         if hit is None:
             hit = _load_image(path)
+            self._store[path] = hit
+        return hit
+
+    def load_transformed(self, path: str, transform, rng):
+        """Decode + transform with the sample cached at the latest
+        deterministic stage."""
+        if not self.enabled:
+            image = _load_image(path)
+            return transform(image, rng) if transform else image
+        from .transforms import is_deterministic
+
+        if transform is None or not is_deterministic(transform):
+            image = self.load(path)
+            return transform(image, rng) if transform else image
+        hit = self._store.get(path)
+        if hit is None:
+            hit = transform(_load_image(path), rng)
             self._store[path] = hit
         return hit
 
@@ -83,10 +105,10 @@ class CIFAR10Dataset(Dataset):
 
     def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
         name = str(self.data.iloc[idx, 0])
-        image = self._cache.load(os.path.join(self.root_dir, f"{name}.png"))
+        image = self._cache.load_transformed(
+            os.path.join(self.root_dir, f"{name}.png"), self.transform, rng
+        )
         label = self.class_to_idx[self.data.iloc[idx, 1]]
-        if self.transform:
-            image = self.transform(image, rng)
         return image, label
 
 
@@ -107,10 +129,10 @@ class STL10Dataset(Dataset):
 
     def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
         name = str(self.data.iloc[idx, 0]).split("/")[-1]
-        image = self._cache.load(os.path.join(self.root_dir, name))
+        image = self._cache.load_transformed(
+            os.path.join(self.root_dir, name), self.transform, rng
+        )
         label = self.class_to_idx[self.data.iloc[idx, 1]]
-        if self.transform:
-            image = self.transform(image, rng)
         return image, label
 
 
@@ -129,10 +151,7 @@ class STL10UnsupervisedDataset(Dataset):
         return len(self.files)
 
     def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
-        image = self._cache.load(self.files[idx])
-        if self.transform:
-            image = self.transform(image, rng)
-        return image
+        return self._cache.load_transformed(self.files[idx], self.transform, rng)
 
     def _native_size(self):
         """(h, w) when the pipeline is decode+Resize only (the device-

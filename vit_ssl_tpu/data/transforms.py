@@ -324,6 +324,20 @@ TRANSFORM_REGISTRY: Dict[str, type] = {
 }
 
 
+_DETERMINISTIC = (Resize, CenterCrop, ToTensor, Normalize)
+
+
+def is_deterministic(transform) -> bool:
+    """True when a pipeline uses no randomness — its output per image is
+    identical every epoch, so the loader may cache post-transform samples
+    (``data.cache_decoded`` with the device-augment host pipeline)."""
+    if transform is None:
+        return True
+    if isinstance(transform, Compose):
+        return all(is_deterministic(t) for t in transform.transforms)
+    return isinstance(transform, _DETERMINISTIC)
+
+
 def build_transform(name: str, params: Optional[Dict[str, Any]] = None) -> Transform:
     if name not in TRANSFORM_REGISTRY:
         raise ValueError(f"Unknown transform '{name}'")

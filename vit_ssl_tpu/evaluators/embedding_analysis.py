@@ -48,6 +48,13 @@ except Exception:  # pragma: no cover - environment-dependent
     _HAVE_UMAP = False
 
 
+def projector_name() -> str:
+    """Which 2D/3D projector the analysis actually uses — 'UMAP' when
+    umap-learn is installed, else 'PCA'. Plot titles and reports use this
+    so PCA-fallback artifacts are never mislabeled as UMAP."""
+    return "UMAP" if _HAVE_UMAP else "PCA"
+
+
 def _project(features: np.ndarray, n_components: int, umap_params: Optional[Dict]):
     params = {
         "n_components": n_components,
@@ -178,9 +185,9 @@ def create_basic_plot(embedding, labels, output_dir):
     plt.figure(figsize=(10, 8))
     plt.scatter(embedding[:, 0], embedding[:, 1], c=labels, cmap="Spectral", s=5)
     plt.colorbar()
-    plt.title("UMAP projection of learned features")
-    plt.xlabel("UMAP 1")
-    plt.ylabel("UMAP 2")
+    plt.title(f"{projector_name()} projection of learned features")
+    plt.xlabel(f"{projector_name()} 1")
+    plt.ylabel(f"{projector_name()} 2")
     plt.savefig(
         os.path.join(output_dir, "umap_visualization.png"), dpi=150, bbox_inches="tight"
     )
@@ -250,7 +257,7 @@ def create_comprehensive_analysis(embedding, labels, output_path):
         ax.set_title(title)
     for ax in np.ravel(axes)[n:]:
         ax.axis("off")
-    fig.suptitle("Embedding-space analysis", fontsize=14)
+    fig.suptitle(f"Embedding-space analysis ({projector_name()} projection)", fontsize=14)
     fig.tight_layout()
     fig.savefig(output_path, dpi=150, bbox_inches="tight")
     plt.close(fig)
@@ -261,7 +268,7 @@ def create_comprehensive_analysis(embedding, labels, output_path):
 # metric key -> (display label, reading direction)
 _METRIC_INFO = {
     "silhouette_features": ("Silhouette Score (Features)", "higher is better, max 1.0"),
-    "silhouette_umap": ("Silhouette Score (UMAP)", "higher is better, max 1.0"),
+    "silhouette_umap": ("Silhouette Score (projection)", "higher is better, max 1.0"),
     "adjusted_rand_index": ("Adjusted Rand Index", "higher is better, max 1.0"),
     "avg_intra_distance": ("Average Intra-class Distance", "lower is better"),
     "avg_inter_distance": ("Average Inter-class Distance", "higher is better"),
@@ -306,6 +313,8 @@ def save_results(metrics, quality, feedback, output_dir):
         "UMAP Feature Quality Analysis Report",
         "=" * 40,
         "",
+        f"Projector: {projector_name()}"
+        + ("" if _HAVE_UMAP else " (umap-learn not installed; PCA fallback)"),
         f"Overall Assessment: {quality}",
         "",
         "Detailed Metrics:",
@@ -361,14 +370,15 @@ def create_3d_umap_animation(features, labels, output_dir, umap_params=None,
         embedding[:, 0], embedding[:, 1], embedding[:, 2],
         c=labels, cmap="Spectral", s=5, alpha=0.7,
     )
-    ax.set_xlabel("UMAP 1")
-    ax.set_ylabel("UMAP 2")
-    ax.set_zlabel("UMAP 3")
+    name = projector_name()
+    ax.set_xlabel(f"{name} 1")
+    ax.set_ylabel(f"{name} 2")
+    ax.set_zlabel(f"{name} 3")
 
     def spin(frame_idx):
         angle = frame_idx * step_degrees
         ax.view_init(elev=20, azim=angle)
-        ax.set_title(f"3D feature embedding — azimuth {angle}°")
+        ax.set_title(f"3D {projector_name()} embedding — azimuth {angle}°")
         return ()
 
     anim = animation.FuncAnimation(

@@ -7,6 +7,13 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .ring_attention import (
+    SEQ_AXIS,
+    create_seq_mesh,
+    ring_attention,
+    ring_attention_available,
+    ring_attention_sharded,
+)
 from .sharding_rules import (
     MODEL_AXIS,
     create_dp_tp_mesh,
@@ -22,6 +29,11 @@ __all__ = [
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "SEQ_AXIS",
+    "create_seq_mesh",
+    "ring_attention",
+    "ring_attention_available",
+    "ring_attention_sharded",
     "MODEL_AXIS",
     "create_dp_tp_mesh",
     "shard_params",

@@ -7,6 +7,7 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .fsdp import apply_fsdp, fsdp_enabled, fsdp_spec_for, shard_tree_fsdp
 from .ring_attention import (
     SEQ_AXIS,
     create_seq_mesh,
@@ -29,6 +30,10 @@ __all__ = [
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "apply_fsdp",
+    "fsdp_enabled",
+    "fsdp_spec_for",
+    "shard_tree_fsdp",
     "SEQ_AXIS",
     "create_seq_mesh",
     "ring_attention",

@@ -1,0 +1,112 @@
+"""FSDP/ZeRO-style parameter + optimizer-state sharding over the data mesh.
+
+The reference replicates nothing because it has no distributed execution
+(SURVEY.md §2.6); this framework's round-1 data parallelism replicated
+params and Adam moments on every device. For ViT-B+ scale that wastes
+HBM: with ``parallel.fsdp: true`` every large parameter (and its Adam
+mu/nu, which share the param pytree structure) is sharded along its
+largest divisible dimension over the ``data`` axis. The jitted train
+steps are UNCHANGED — XLA's GSPMD partitioner sees the input shardings
+and inserts the per-layer all-gathers (weights into the forward) and
+reduce-scatters (gradients out of the backward) itself, which is the
+ZeRO-3 communication pattern expressed as sharding annotations instead
+of hand-written collectives.
+
+Per-device parameter memory drops ~devices-fold for the sharded leaves;
+small leaves (LayerNorm scales, biases, CLS/pos tokens below
+``min_size``) stay replicated — sharding them would cost more in
+collective latency than it saves.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+# leaves smaller than this stay replicated (bytes are negligible; the
+# all-gather latency is not)
+DEFAULT_MIN_SIZE = 2**15
+
+
+def fsdp_spec_for(
+    shape, mesh: Mesh, axis: str = DATA_AXIS, min_size: int = DEFAULT_MIN_SIZE
+) -> P:
+    """PartitionSpec sharding the largest divisible dim along ``axis``."""
+    n = int(mesh.shape[axis])
+    size = int(np.prod(shape)) if shape else 0
+    if n <= 1 or size < min_size:
+        return P()
+    # largest dimension that divides the axis size
+    candidates = [
+        (dim_size, idx)
+        for idx, dim_size in enumerate(shape)
+        if dim_size % n == 0
+    ]
+    if not candidates:
+        return P()
+    _, idx = max(candidates)
+    spec = [None] * len(shape)
+    spec[idx] = axis
+    return P(*spec)
+
+
+def shard_tree_fsdp(
+    tree: Any,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    min_size: int = DEFAULT_MIN_SIZE,
+) -> Any:
+    """Place a pytree with per-leaf FSDP shardings (multi-process safe)."""
+    multiprocess = jax.process_count() > 1
+
+    def place(x):
+        x = np.asarray(x) if not hasattr(x, "sharding") else x
+        sharding = NamedSharding(
+            mesh, fsdp_spec_for(getattr(x, "shape", ()), mesh, axis, min_size)
+        )
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), np.asarray(x)
+            ) if sharding.spec == P() else jax.device_put(np.asarray(x), sharding)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def apply_fsdp(state, mesh: Optional[Mesh], min_size: int = DEFAULT_MIN_SIZE):
+    """Re-place a TrainState: params / teacher params / optimizer moments
+    sharded FSDP-style, scalars and small leaves replicated.
+
+    The Adam mu/nu trees mirror the param tree, so the same spec function
+    applies leaf-for-leaf (ZeRO: optimizer state lives with its shard).
+    """
+    if mesh is None or int(mesh.shape.get(DATA_AXIS, 1)) <= 1:
+        return state
+    replicated = NamedSharding(mesh, P())
+
+    updated = state.replace(
+        params=shard_tree_fsdp(state.params, mesh, min_size=min_size),
+        opt_state=shard_tree_fsdp(state.opt_state, mesh, min_size=min_size),
+        step=jax.device_put(state.step, replicated),
+        rng=jax.device_put(state.rng, replicated),
+    )
+    if getattr(state, "teacher_params", None) is not None:
+        updated = updated.replace(
+            teacher_params=shard_tree_fsdp(
+                state.teacher_params, mesh, min_size=min_size
+            )
+        )
+    if getattr(state, "center", None) is not None:
+        updated = updated.replace(
+            center=jax.device_put(state.center, replicated)
+        )
+    return updated
+
+
+def fsdp_enabled(config) -> bool:
+    return bool((config.get("parallel", {}) or {}).get("fsdp", False))

@@ -24,6 +24,7 @@ import numpy as np
 
 from ...config import to_container
 from ...parallel import replicate, shard_batch
+from ...parallel.fsdp import apply_fsdp, fsdp_enabled
 from ...train.schedules import lr_schedule_from_config
 from ...train.state import create_train_state, make_optimizer
 from ...utils.checkpoint import checkpoint_exists, load_checkpoint, save_checkpoint
@@ -100,6 +101,13 @@ class BaseTrainer(ABC):
             teacher_params=trees.get("teacher_params"),
             center=trees.get("center"),
         )
+        return self._place_state(state)
+
+    def _place_state(self, state):
+        """Replicated by default; FSDP/ZeRO sharding of params + Adam
+        moments over the data axis with ``parallel.fsdp: true``."""
+        if fsdp_enabled(self.config):
+            return apply_fsdp(replicate(state, self.mesh), self.mesh)
         return replicate(state, self.mesh)
 
     def _apply_pretrained(self, trees):
@@ -219,7 +227,7 @@ class BaseTrainer(ABC):
             teacher_params=tree.get("teacher_params", self.state.teacher_params),
             center=tree.get("center", self.state.center),
         )
-        self.state = replicate(self.state, self.mesh)
+        self.state = self._place_state(self.state)
         self.start_epoch = int(metadata.get("epoch", 0))
         self.best_val_loss = float(metadata.get("best_val_loss", math.inf))
         logger.info("Resuming from epoch %d.", self.start_epoch + 1)

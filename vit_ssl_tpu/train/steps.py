@@ -96,14 +96,24 @@ def make_criterion(config, mode: Optional[str] = None) -> str:
 
 
 def make_supervised_steps(model, tx, donate: bool = True,
-                          augment_fn: Optional[Callable] = None):
+                          augment_fn: Optional[Callable] = None,
+                          grad_accum: int = 1):
     """Returns (train_step, eval_step), both jitted.
 
     train_step(state, batch) -> (state, out) with out carrying the batch
     loss, weighted correct/total, and per-sample preds/labels for the
     host-side F1/Recall/Precision registry. With ``augment_fn``, train-time
     augmentation runs on device inside this step (uint8 batch contract).
+
+    ``grad_accum`` > 1 splits the batch into that many microbatches and
+    accumulates gradients via ``lax.scan`` before the single optimizer
+    update — activation memory drops ~grad_accum-fold (ViT-B batch 128
+    on one v5e needs it). Exact under sample weights: microbatch grads
+    of the UNNORMALISED weighted loss are summed and scaled once by the
+    total weight, so the update equals the full-batch one bit-for-bit up
+    to fp32 reduction order (tests/test_grad_accum.py).
     """
+    grad_accum = max(1, int(grad_accum))
 
     def loss_fn(params, batch, dropout_rng, aug_rng):
         images = (
@@ -120,14 +130,76 @@ def make_supervised_steps(model, tx, donate: bool = True,
         loss = cross_entropy_loss(logits, batch["label"], batch["weight"])
         return loss, logits
 
-    def train_step(state: TrainState, batch):
-        dropout_rng, aug_rng = state.next_rng(2)
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, dropout_rng, aug_rng
+    def unnorm_loss_fn(params, batch, dropout_rng, aug_rng):
+        """Σ w·ce (no normaliser — applied once after accumulation)."""
+        images = (
+            augment_fn(aug_rng, batch["image"])
+            if augment_fn is not None
+            else _to_float_images(batch["image"])
         )
+        logits = model.apply(
+            {"params": params},
+            images,
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), batch["label"]
+        )
+        return jnp.sum(ce * batch["weight"].astype(jnp.float32)), logits
+
+    def _accum_grads(state, batch):
+        b = batch["weight"].shape[0]
+        if b % grad_accum != 0:
+            raise ValueError(
+                f"batch size {b} must divide training.grad_accum_steps "
+                f"({grad_accum})"
+            )
+        mb = b // grad_accum
+
+        def split(x):
+            return x.reshape((grad_accum, mb) + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(split, batch)
+        d_rngs, a_rngs = state.next_rng(2)
+        d_rngs = jax.random.split(d_rngs, grad_accum)
+        a_rngs = jax.random.split(a_rngs, grad_accum)
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+
+        def body(carry, xs):
+            grads_acc, loss_acc = carry
+            mb_batch, d_rng, a_rng = xs
+            (loss_sum, logits), g = jax.value_and_grad(
+                unnorm_loss_fn, has_aux=True
+            )(state.params, mb_batch, d_rng, a_rng)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, x: a + x.astype(jnp.float32), grads_acc, g
+            )
+            return (grads_acc, loss_acc + loss_sum), jnp.argmax(logits, axis=-1)
+
+        (grads_sum, loss_sum), preds = jax.lax.scan(
+            body, (zero_grads, jnp.float32(0)), (micro, d_rngs, a_rngs)
+        )
+        w_total = jnp.maximum(jnp.sum(batch["weight"].astype(jnp.float32)), 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g / w_total).astype(p.dtype), grads_sum, state.params
+        )
+        return grads, loss_sum / w_total, preds.reshape(b)
+
+    def train_step(state: TrainState, batch):
+        if grad_accum > 1:
+            grads, loss, preds = _accum_grads(state, batch)
+        else:
+            dropout_rng, aug_rng = state.next_rng(2)
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, dropout_rng, aug_rng
+            )
+            preds = jnp.argmax(logits, axis=-1)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        preds = jnp.argmax(logits, axis=-1)
         out = {
             "loss": loss,
             "weight_sum": jnp.sum(batch["weight"]),
@@ -168,23 +240,31 @@ def make_supervised_steps(model, tx, donate: bool = True,
 
 
 def make_simmim_steps(model, tx, patch_size: int, channels: int, criterion: str = "l1",
-                      donate: bool = True, augment_fn: Optional[Callable] = None):
+                      donate: bool = True, augment_fn: Optional[Callable] = None,
+                      grad_accum: int = 1):
     """Masked reconstruction steps. The random mask is drawn inside the
     compiled step (SURVEY.md §7: "single compiled step including mask
-    generation"). PSNR/SSIM ingredients accumulate as scalars on device."""
+    generation"). PSNR/SSIM ingredients accumulate as scalars on device.
 
-    def recon_loss(preds, targets, mask_w):
-        if criterion == "l1":
-            return masked_l1_loss(preds, targets, mask_w)
+    ``grad_accum`` > 1: microbatched gradient accumulation, exact under
+    mask weighting (unnormalised error-sum gradients accumulate, the
+    global mask-weight normaliser applies once)."""
+    grad_accum = max(1, int(grad_accum))
+
+    def _err(preds, targets):
         diff = preds.astype(jnp.float32) - targets.astype(jnp.float32)
+        if criterion == "l1":
+            return jnp.abs(diff)
         if criterion == "mse":
-            err = diff**2
-        elif criterion == "smooth_l1":
+            return diff**2
+        if criterion == "smooth_l1":
             # torch.nn.SmoothL1Loss, beta=1.0: 0.5·d²/β for |d|<β else |d|−0.5·β
             absd = jnp.abs(diff)
-            err = jnp.where(absd < 1.0, 0.5 * diff**2, absd - 0.5)
-        else:
-            raise ValueError(f"Unsupported SimMIM criterion '{criterion}'")
+            return jnp.where(absd < 1.0, 0.5 * diff**2, absd - 0.5)
+        raise ValueError(f"Unsupported SimMIM criterion '{criterion}'")
+
+    def recon_loss(preds, targets, mask_w):
+        err = _err(preds, targets)
         w = mask_w[..., None].astype(jnp.float32)
         return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[-1], 1.0)
 
@@ -209,15 +289,82 @@ def make_simmim_steps(model, tx, patch_size: int, channels: int, criterion: str 
         }
         return loss, stats
 
+    def unnorm_forward(params, mb_batch, rngs, aug_rng):
+        """Σ err·w and its normaliser, plus additive PSNR/SSIM stats."""
+        if augment_fn is not None and aug_rng is not None:
+            images = augment_fn(aug_rng, mb_batch["image"])
+        else:
+            images = _to_float_images(mb_batch["image"])
+        preds, targets, mask = model.apply(
+            {"params": params}, images, deterministic=False, rngs=rngs
+        )
+        mask_w = mask.astype(jnp.float32) * mb_batch["weight"][:, None]
+        err = _err(preds, targets)
+        w = mask_w[..., None]
+        num = jnp.sum(err * w)
+        denom = jnp.sum(w) * err.shape[-1]
+        clamped = jnp.clip(preds, 0.0, 1.0)
+        sse, cnt = psnr_stats(clamped, targets, w)
+        ssim_sum, ssim_cnt = ssim_stats(clamped, targets, mask_w, patch_size, channels)
+        return num, (denom, {"psnr_sse": sse, "psnr_count": cnt,
+                             "ssim_sum": ssim_sum, "ssim_count": ssim_cnt})
+
+    def _accum_step(state, batch):
+        b = batch["weight"].shape[0]
+        mb = b // grad_accum
+
+        def split(x):
+            return x.reshape((grad_accum, mb) + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(split, batch)
+        d_rng, m_rng, a_rng = state.next_rng(3)
+        d_rngs = jax.random.split(d_rng, grad_accum)
+        m_rngs = jax.random.split(m_rng, grad_accum)
+        a_rngs = jax.random.split(a_rng, grad_accum)
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        zero_stats = {"psnr_sse": 0.0, "psnr_count": 0.0,
+                      "ssim_sum": 0.0, "ssim_count": 0.0}
+        zero_stats = {k: jnp.float32(v) for k, v in zero_stats.items()}
+
+        def body(carry, xs):
+            grads_acc, num_acc, denom_acc, stats_acc = carry
+            mb_batch, dr, mr, ar = xs
+            (num, (denom, stats)), g = jax.value_and_grad(
+                unnorm_forward, has_aux=True
+            )(state.params, mb_batch, {"dropout": dr, "mask": mr}, ar)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, x: a + x.astype(jnp.float32), grads_acc, g
+            )
+            stats_acc = {k: stats_acc[k] + stats[k] for k in stats_acc}
+            return (grads_acc, num_acc + num, denom_acc + denom, stats_acc), ()
+
+        (grads_sum, num, denom, stats), _ = jax.lax.scan(
+            body,
+            (zero_grads, jnp.float32(0), jnp.float32(0), zero_stats),
+            (micro, d_rngs, m_rngs, a_rngs),
+        )
+        denom = jnp.maximum(denom, 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g / denom).astype(p.dtype), grads_sum, state.params
+        )
+        return grads, num / denom, stats
+
     def train_step(state: TrainState, batch):
-        dropout_rng, mask_rng, aug_rng = state.next_rng(3)
-        rngs = {"dropout": dropout_rng, "mask": mask_rng}
+        if grad_accum > 1:
+            grads, loss, stats = _accum_step(state, batch)
+        else:
+            dropout_rng, mask_rng, aug_rng = state.next_rng(3)
+            rngs = {"dropout": dropout_rng, "mask": mask_rng}
 
-        def loss_fn(params):
-            return forward_stats(params, batch, rngs, deterministic=False,
-                                 aug_rng=aug_rng)
+            def loss_fn(params):
+                return forward_stats(params, batch, rngs, deterministic=False,
+                                     aug_rng=aug_rng)
 
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

@@ -39,6 +39,7 @@ class SimMIMTrainer(BaseTrainer):
             channels=int(self.config["model"]["in_channels"]),
             criterion=make_criterion(self.config),
             augment_fn=self._device_augment_fn(),
+            grad_accum=int(self.config["training"].get("grad_accum_steps", 1)),
         )
 
     def _device_augment_fn(self):

@@ -67,7 +67,8 @@ class SupervisedTrainer(BaseTrainer):
         # instead of silently running CE (VERDICT r1 weakness 5)
         make_criterion(self.config)
         self.train_step, self.eval_step = make_supervised_steps(
-            self.model, self.tx, augment_fn=self._device_augment_fn()
+            self.model, self.tx, augment_fn=self._device_augment_fn(),
+            grad_accum=int(self.config["training"].get("grad_accum_steps", 1)),
         )
 
     def _device_augment_fn(self):

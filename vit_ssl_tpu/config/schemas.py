@@ -95,6 +95,7 @@ class TrainingSchema:
     teacher_momentum_final: Optional[float] = None
     num_all_views: Optional[int] = None
     num_global_views: Optional[int] = None
+    teacher_dropout: bool = True  # reference quirk: teacher dropout active
 
 
 @dataclass

@@ -114,3 +114,89 @@ def test_gradients_flow_everywhere(vit_and_params):
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     nonzero = sum(bool(np.abs(np.asarray(g)).sum() > 0) for g in leaves)
     assert nonzero >= len(leaves) - 1  # everything but (maybe) nothing is dead
+
+
+class TestPatchDropout:
+    """PatchDropout (arXiv:2208.07220) — opt-in train-time token dropping."""
+
+    def _model(self, pd):
+        from vit_ssl_tpu.models.vit import ViT
+
+        return ViT(
+            num_classes=4, num_blocks=2, input_shape=(3, 32, 32), embed_dim=32,
+            patch_size=8, num_heads=2, mlp_dim=64, dropout=0.0,
+            patch_dropout=pd, use_flash=False, use_fused_mlp=False,
+        )
+
+    def test_off_by_default_matches_baseline(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+        base = self._model(0.0)
+        variables = base.init(jax.random.PRNGKey(0), x)
+        out_off = base.apply(
+            variables, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)}
+        )
+        # the field default is 0.0 — constructing without it is identical
+        from vit_ssl_tpu.models.vit import ViT
+
+        plain = ViT(
+            num_classes=4, num_blocks=2, input_shape=(3, 32, 32), embed_dim=32,
+            patch_size=8, num_heads=2, mlp_dim=64, dropout=0.0,
+            use_flash=False, use_fused_mlp=False,
+        )
+        out_plain = plain.apply(
+            variables, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)}
+        )
+        np.testing.assert_array_equal(np.asarray(out_off), np.asarray(out_plain))
+
+    def test_train_mode_drops_and_is_rng_deterministic(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+        m = self._model(0.5)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        a = m.apply(variables, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+        b = m.apply(variables, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+        c = m.apply(variables, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+        assert a.shape == (2, 4)
+
+    def test_eval_mode_ignores_patch_dropout(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+        m05 = self._model(0.5)
+        m00 = self._model(0.0)
+        variables = m00.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_array_equal(
+            np.asarray(m05.apply(variables, x, deterministic=True)),
+            np.asarray(m00.apply(variables, x, deterministic=True)),
+        )
+
+    def test_gradients_flow(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+        m = self._model(0.5)
+        variables = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            out = m.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        total = sum(float(jnp.abs(v).sum()) for v in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0

@@ -91,7 +91,11 @@ def build_model(config) -> ModelBundle:
     img = kwargs["input_shape"][1]
 
     if mode in ("supervised", "finetune"):
-        module = ViT(num_classes=int(config["model"]["num_classes"]), **kwargs)
+        module = ViT(
+            num_classes=int(config["model"]["num_classes"]),
+            patch_dropout=float(config["model"].get("patch_dropout", 0.0)),
+            **kwargs,
+        )
 
         def init_fn(rng):
             dummy = jnp.zeros((1, img, img, kwargs["input_shape"][0]))

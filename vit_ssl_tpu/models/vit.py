@@ -9,12 +9,20 @@ is mathematically identical and avoids materialising N-1 unused maps).
 
 Optional ``remat`` wraps each encoder block in ``jax.checkpoint`` to trade
 FLOPs for HBM (useful for big batches / ViT-B+ scale on one chip).
+
+Optional ``patch_dropout`` (train-time only, off by default for reference
+parity) keeps a random per-sample subset of patch tokens after the
+positional embedding — PatchDropout (Liu et al., arXiv:2208.07220):
+encoder FLOPs scale with the keep ratio (attention with its square) at
+negligible accuracy cost for natural images. Static shapes: the keep
+count is fixed at trace time, the subset is drawn in-jit per sample.
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,6 +38,7 @@ class ViT(nn.Module):
     num_heads: int = 8
     mlp_dim: int = 3072
     dropout: float = 0.1
+    patch_dropout: float = 0.0  # train-time token dropping (CLS always kept)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
@@ -55,6 +64,13 @@ class ViT(nn.Module):
             matmul_precision=self.matmul_precision,
             name="patch_embedding",
         )(x)
+
+        if (
+            not deterministic
+            and self.patch_dropout > 0.0
+            and not return_attn  # visualizers need the full token grid
+        ):
+            x = self._drop_patches(x)
 
         block_cls = EncoderBlock
         if self.remat:
@@ -95,3 +111,18 @@ class ViT(nn.Module):
         if return_attn:
             return logits, attn_probs
         return logits
+
+    def _drop_patches(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Keep a per-sample random subset of patch tokens (CLS at index 0
+        always survives). Keep count is static; the subset is uniform via
+        argsort of iid scores."""
+        b, n_with_cls, d = tokens.shape
+        n = n_with_cls - 1
+        keep = max(1, int(round(n * (1.0 - self.patch_dropout))))
+        rng = self.make_rng("dropout")
+        scores = jax.random.uniform(rng, (b, n))
+        keep_idx = jnp.argsort(scores, axis=-1)[:, :keep]  # (B, keep)
+        patches = jnp.take_along_axis(
+            tokens[:, 1:], keep_idx[..., None], axis=1
+        )
+        return jnp.concatenate([tokens[:, :1], patches], axis=1)

@@ -131,3 +131,70 @@ def test_indivisible_batch_raises():
     step_acc, _ = make_supervised_steps(model, tx, donate=False, grad_accum=4)
     with pytest.raises(ValueError, match="grad_accum"):
         step_acc(state, batch)
+
+
+def test_dino_matches_full_batch():
+    """Two-pass DINO accumulation == the fused full-batch step (dropout 0,
+    deterministic teacher, precomputed views): identical loss, center, and
+    updated params."""
+    from vit_ssl_tpu.models import DINONetwork
+    from vit_ssl_tpu.train.steps import make_dino_steps
+
+    model = DINONetwork(
+        num_blocks=1, input_shape=(3, 16, 16), embed_dim=32, patch_size=8,
+        num_heads=2, mlp_dim=64, dropout=0.0, output_dim=16,
+        use_flash=False, use_fused_mlp=False,
+    )
+    rs = np.random.RandomState(0)
+    b = 8
+    views = [
+        jnp.asarray(rs.rand(b, 16, 16, 3).astype(np.float32)) for _ in range(2)
+    ] + [jnp.asarray(rs.rand(b, 8, 8, 3).astype(np.float32)) for _ in range(2)]
+    batch = {"views": views, "weight": jnp.ones((b,), jnp.float32)}
+
+    def fresh_state(tx):
+        student = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+        teacher = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), student)
+        center = jnp.zeros((1, 16), jnp.float32)
+        return create_train_state(
+            student, tx, jax.random.PRNGKey(1),
+            teacher_params=teacher, center=center,
+        )
+
+    tx = optax.adamw(1e-3, weight_decay=1e-3)
+    kw = dict(num_global_views=2, num_all_views=4, student_temp=0.1,
+              center_momentum=0.9, donate=False, teacher_dropout=False)
+    step_full, _ = make_dino_steps(model, tx, **kw)
+    step_acc, _ = make_dino_steps(model, tx, grad_accum=2, **kw)
+
+    s_full = fresh_state(tx)
+    s_acc = fresh_state(tx)
+    tt, tm = jnp.float32(0.04), jnp.float32(0.996)
+    # step 1: exact to fp32 reduction order
+    s_full, out_f = step_full(s_full, batch, tt, tm)
+    s_acc, out_a = step_acc(s_acc, batch, tt, tm)
+    np.testing.assert_allclose(float(out_f["loss"]), float(out_a["loss"]), rtol=1e-6)
+    for a, bb in zip(
+        jax.tree_util.tree_leaves(s_full.params),
+        jax.tree_util.tree_leaves(s_acc.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)
+    # two more coupled steps: Adam amplifies reduction-order noise — stay
+    # within loose fp32 drift bounds
+    for _ in range(2):
+        s_full, out_f = step_full(s_full, batch, tt, tm)
+        s_acc, out_a = step_acc(s_acc, batch, tt, tm)
+    np.testing.assert_allclose(float(out_f["loss"]), float(out_a["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_full.center), np.asarray(s_acc.center), atol=1e-6, rtol=1e-4
+    )
+    for a, bb in zip(
+        jax.tree_util.tree_leaves(s_full.params),
+        jax.tree_util.tree_leaves(s_acc.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5, rtol=1e-3)
+    for key in ("CosineSim", "TeacherSTD"):
+        np.testing.assert_allclose(
+            float(out_f["dino_stats"][key]), float(out_a["dino_stats"][key]),
+            rtol=1e-4,
+        )

@@ -399,6 +399,7 @@ def make_dino_steps(
     donate: bool = True,
     teacher_dropout: bool = True,
     view_fn: Optional[Callable] = None,
+    grad_accum: int = 1,
 ):
     """Multi-crop self-distillation steps.
 
@@ -472,21 +473,131 @@ def make_dino_steps(
             jnp.sum(jnp.broadcast_to(w, per.shape)), 1.0
         )
 
-    def train_step(state: TrainState, batch, teacher_temp, teacher_momentum):
-        rng_sg, rng_sl, rng_t, rng_aug = state.next_rng(4)
-        rngs = {"student_g": rng_sg, "student_l": rng_sl, "teacher": rng_t,
-                "augment": rng_aug}
-
-        def loss_fn(params):
-            t, s, new_center = outputs(
-                params, state.teacher_params, state.center, batch, rngs, True
+    def _accum_grads(state, batch, teacher_temp):
+        """Two-pass microbatched accumulation, exact w.r.t. the full-batch
+        step's semantics: pass A runs the teacher on every microbatch so
+        the center EMA uses the GLOBAL batch mean (as the fused step
+        does); pass B accumulates student gradients of the unnormalised
+        loss against the saved teacher outputs and the updated center,
+        scaling once by the global weight normaliser."""
+        w = batch["weight"]
+        b = w.shape[0]
+        if b % grad_accum != 0:
+            raise ValueError(
+                f"batch size {b} must divide training.grad_accum_steps "
+                f"({grad_accum})"
             )
-            loss = weighted_dino_loss(t, s, new_center, teacher_temp, batch["weight"])
-            return loss, (t, s, new_center)
+        mb = b // grad_accum
 
-        (loss, (t, s, new_center)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        def split(x):
+            return x.reshape((grad_accum, mb) + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(split, batch)
+        rng_sg, rng_sl, rng_t, rng_aug = state.next_rng(4)
+        sg_rngs = jax.random.split(rng_sg, grad_accum)
+        sl_rngs = jax.random.split(rng_sl, grad_accum)
+        t_rngs = jax.random.split(rng_t, grad_accum)
+        aug_rngs = jax.random.split(rng_aug, grad_accum)
+
+        det_teacher = not teacher_dropout
+
+        def teacher_body(_, xs):
+            mb_batch, t_rng, aug_rng = xs
+            views = get_views(mb_batch, aug_rng)
+            globals_x = jnp.concatenate(views[:ng], axis=0)
+            t_g = model.apply(
+                {"params": state.teacher_params}, globals_x, det_teacher,
+                rngs={} if det_teacher else {"dropout": t_rng},
+            )
+            return (), t_g  # (ng·mb, K)
+
+        _, t_all = jax.lax.scan(
+            teacher_body, (), (micro, t_rngs, aug_rngs)
+        )
+        k = t_all.shape[-1]
+        # (A, ng·mb, K) -> (ng, B, K), batch order = contiguous microbatches
+        t_views = (
+            t_all.reshape(grad_accum, ng, mb, k)
+            .transpose(1, 0, 2, 3)
+            .reshape(ng, b, k)
+        )
+        t_views = jax.lax.stop_gradient(t_views)
+        new_center = update_center(state.center, t_views, center_momentum)
+        t_micro = t_all.reshape(grad_accum, ng, mb, k)
+
+        def unnorm_loss(params, mb_batch, t_mb, sg, sl, aug):
+            views = get_views(mb_batch, aug)
+            globals_x = jnp.concatenate(views[:ng], axis=0)
+            locals_x = jnp.concatenate(views[ng:], axis=0) if nl > 0 else None
+            s_parts = [model.apply(
+                {"params": params}, globals_x, False, rngs={"dropout": sg}
+            )]
+            if locals_x is not None:
+                s_parts.append(model.apply(
+                    {"params": params}, locals_x, False, rngs={"dropout": sl}
+                ))
+            s = jnp.concatenate(s_parts, axis=0).reshape(na, mb, k)
+            t = jax.lax.stop_gradient(t_mb).astype(jnp.float32)
+            sp = jax.nn.log_softmax(s.astype(jnp.float32) / student_temp, axis=-1)
+            tp = jax.nn.softmax((t - new_center[None]) / teacher_temp, axis=-1)
+            per = -(tp * sp.sum(axis=0)[None])  # (ng, mb, K)
+            wv = mb_batch["weight"].astype(jnp.float32)[None, :, None]
+            return jnp.sum(per * wv), s
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+
+        def grad_body(carry, xs):
+            grads_acc, num_acc = carry
+            mb_batch, t_mb, sg, sl, aug = xs
+            (num, s), g = jax.value_and_grad(unnorm_loss, has_aux=True)(
+                state.params, mb_batch, t_mb, sg, sl, aug
+            )
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, x: a + x.astype(jnp.float32), grads_acc, g
+            )
+            return (grads_acc, num_acc + num), s
+
+        (grads_sum, num), s_all = jax.lax.scan(
+            grad_body, (zero_grads, jnp.float32(0)),
+            (micro, t_micro, sg_rngs, sl_rngs, aug_rngs),
+        )
+        # weighted_dino_loss normalises by Σ of the weight broadcast over
+        # the (Vt, B, K) per-element loss — i.e. ng·K·Σw
+        denom = jnp.maximum(ng * k * jnp.sum(w.astype(jnp.float32)), 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g / denom).astype(p.dtype), grads_sum, state.params
+        )
+        s_views = (
+            s_all.reshape(grad_accum, na, mb, k)
+            .transpose(1, 0, 2, 3)
+            .reshape(na, b, k)
+        )
+        return grads, num / denom, t_views, s_views, new_center
+
+    def train_step(state: TrainState, batch, teacher_temp, teacher_momentum):
+        if grad_accum > 1:
+            grads, loss, t, s, new_center = _accum_grads(
+                state, batch, teacher_temp
+            )
+        else:
+            rng_sg, rng_sl, rng_t, rng_aug = state.next_rng(4)
+            rngs = {"student_g": rng_sg, "student_l": rng_sl, "teacher": rng_t,
+                    "augment": rng_aug}
+
+            def loss_fn(params):
+                t, s, new_center = outputs(
+                    params, state.teacher_params, state.center, batch, rngs, True
+                )
+                loss = weighted_dino_loss(
+                    t, s, new_center, teacher_temp, batch["weight"]
+                )
+                return loss, (t, s, new_center)
+
+            (loss, (t, s, new_center)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_teacher = momentum_update(state.teacher_params, new_params, teacher_momentum)

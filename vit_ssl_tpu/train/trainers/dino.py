@@ -70,6 +70,7 @@ class DINOTrainer(BaseTrainer):
             teacher_dropout=bool(
                 self.config.training.get("teacher_dropout", True)
             ),
+            grad_accum=int(self.config.training.get("grad_accum_steps", 1)),
         )
 
     def _teacher_temp(self, epoch: int) -> float:

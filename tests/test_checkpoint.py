@@ -159,3 +159,143 @@ def test_torch_vit_import_structure(tmp_path):
         np.asarray(params["patch_embedding"]["conv"]["kernel"])[0, 0, 0, :],
         sd["patch_embedding.conv.weight"].numpy()[:, 0, 0, 0],
     )
+
+
+class TestTorchExport:
+    """Reference-compatible .pth export: round-trips through our importers
+    and loads into the actual reference modules with strict=True."""
+
+    def test_vit_roundtrip_and_strict_load(self, tmp_path):
+        import sys
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        torch = pytest.importorskip("torch")
+        sys.path.insert(0, "/root/reference")
+        from vit_core.vit import ViT as RefViT
+
+        from vit_ssl_tpu.models import ViT
+        from vit_ssl_tpu.utils.checkpoint import (
+            load_torch_state_dict,
+            save_torch_checkpoint,
+            vit_params_from_torch,
+            vit_params_to_torch,
+        )
+
+        ours = ViT(
+            num_classes=4, num_blocks=2, input_shape=(3, 32, 32), embed_dim=32,
+            patch_size=8, num_heads=2, mlp_dim=64, dropout=0.0,
+            use_flash=False, use_fused_mlp=False,
+        )
+        params = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+        sd = vit_params_to_torch(params)
+        path = str(tmp_path / "export.pth")
+        save_torch_checkpoint(path, sd, {"epoch": 3})
+
+        # (a) strict load into the reference module
+        ref = RefViT(
+            num_classes=4, num_blocks=2, input_shape=(3, 32, 32), embed_dim=32,
+            patch_size=8, num_heads=2, mlp_dim=64, dropout=0.0,
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        assert ckpt["epoch"] == 3
+        ref.load_state_dict(ckpt["model_state_dict"], strict=True)
+        ref.eval()
+
+        # (b) forward parity through the exported weights
+        x = np.random.RandomState(0).rand(2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            ref_logits = ref(torch.from_numpy(x)).numpy()
+        j_logits = ours.apply(
+            {"params": params},
+            jnp.asarray(np.ascontiguousarray(x.transpose(0, 2, 3, 1))),
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_logits), ref_logits, atol=2e-5, rtol=1e-4
+        )
+
+        # (c) import(export(params)) == params
+        from flax import traverse_util
+
+        back = vit_params_from_torch(load_torch_state_dict(path))
+        flat_a = traverse_util.flatten_dict(params)
+        flat_b = traverse_util.flatten_dict(back)
+        assert set(flat_a) == set(flat_b)
+        for key in flat_a:
+            np.testing.assert_allclose(
+                np.asarray(flat_a[key]), np.asarray(flat_b[key]), atol=1e-7
+            )
+
+    def test_dino_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        pytest.importorskip("torch")
+        from vit_ssl_tpu.models import DINONetwork
+        from vit_ssl_tpu.utils.checkpoint import (
+            dino_params_from_torch,
+            dino_params_to_torch,
+            load_torch_state_dict,
+            save_torch_checkpoint,
+        )
+
+        model = DINONetwork(
+            num_blocks=1, input_shape=(3, 16, 16), embed_dim=32, patch_size=8,
+            num_heads=2, mlp_dim=64, output_dim=16,
+            use_flash=False, use_fused_mlp=False,
+        )
+        student = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+        teacher = jax.tree_util.tree_map(lambda x: x + 0.5, student)
+        center = np.random.RandomState(0).rand(1, 16).astype(np.float32)
+
+        sd = dino_params_to_torch(student, teacher, center)
+        path = str(tmp_path / "dino.pth")
+        save_torch_checkpoint(path, sd)
+        trees = dino_params_from_torch(load_torch_state_dict(path))
+        for tree, ref in (
+            (trees["student"], student), (trees["teacher"], teacher),
+        ):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(ref)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-7
+                )
+        np.testing.assert_allclose(trees["center"], center, atol=1e-7)
+
+    def test_simmim_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        pytest.importorskip("torch")
+        from vit_ssl_tpu.models import SimMIMViT
+        from vit_ssl_tpu.utils.checkpoint import (
+            load_torch_state_dict,
+            save_torch_checkpoint,
+            simmim_params_from_torch,
+            simmim_params_to_torch,
+        )
+
+        model = SimMIMViT(
+            num_blocks=1, input_shape=(3, 16, 16), embed_dim=32, patch_size=8,
+            num_heads=2, mlp_dim=64, mask_ratio=0.5,
+            use_flash=False, use_fused_mlp=False,
+        )
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 16, 16, 3)),
+        )["params"]
+        path = str(tmp_path / "simmim.pth")
+        save_torch_checkpoint(path, simmim_params_to_torch(params))
+        back = simmim_params_from_torch(load_torch_state_dict(path))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

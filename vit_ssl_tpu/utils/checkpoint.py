@@ -230,3 +230,142 @@ def dino_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         },
         "center": _t(sd["center"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# torch .pth export (migration back to the reference framework)
+# ---------------------------------------------------------------------------
+
+
+def _our_block_count(params: Dict) -> int:
+    return sum(1 for k in params if str(k).startswith("encoder_blocks_"))
+
+
+def _encoder_block_to_torch(block: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_encoder_block_from_torch`."""
+    sd = {}
+    att = block["self_attention"]
+    for name in ("w_query", "w_key", "w_value", "final_linear"):
+        sd[f"{prefix}.self_attention.{name}.weight"] = _t(att[name]["kernel"]).T
+    ff = block["feed_forward"]
+    sd[f"{prefix}.feed_forward.linear_in.weight"] = _t(ff["w1"]).T
+    sd[f"{prefix}.feed_forward.linear_in.bias"] = _t(ff["b1"])
+    sd[f"{prefix}.feed_forward.linear_out.weight"] = _t(ff["w2"]).T
+    sd[f"{prefix}.feed_forward.linear_out.bias"] = _t(ff["b2"])
+    for ln in ("layer_norm1", "layer_norm2"):
+        sd[f"{prefix}.{ln}.weight"] = _t(block[ln]["scale"])
+        sd[f"{prefix}.{ln}.bias"] = _t(block[ln]["bias"])
+    return sd
+
+
+def vit_params_to_torch(params: Dict) -> Dict[str, np.ndarray]:
+    """Our supervised ViT params → a reference-layout state_dict (numpy).
+
+    Loads into `/root/reference/vit_core/vit.py::ViT` with ``strict=True``
+    (round-trip tested in tests/test_checkpoint.py)."""
+    pe = params["patch_embedding"]
+    head = params["classification_head"]
+    sd = {
+        "patch_embedding.conv.weight": _t(pe["conv"]["kernel"]).transpose(3, 2, 0, 1),
+        "patch_embedding.conv.bias": _t(pe["conv"]["bias"]),
+        "patch_embedding.cls_token": _t(pe["cls_token"]),
+        "patch_embedding.positional_embedding": _t(pe["positional_embedding"]),
+        "classification_head.norm.weight": _t(head["norm"]["scale"]),
+        "classification_head.norm.bias": _t(head["norm"]["bias"]),
+        "classification_head.linear.weight": _t(head["linear"]["kernel"]).T,
+        "classification_head.linear.bias": _t(head["linear"]["bias"]),
+    }
+    for i in range(_our_block_count(params)):
+        sd.update(
+            _encoder_block_to_torch(
+                params[f"encoder_blocks_{i}"], f"encoder_blocks.{i}"
+            )
+        )
+    return sd
+
+
+def simmim_params_to_torch(params: Dict) -> Dict[str, np.ndarray]:
+    sd = {
+        "projection.weight": _t(params["projection"]["kernel"]).T,
+        "projection.bias": _t(params["projection"]["bias"]),
+        "mask_token": _t(params["mask_token"]),
+        "positional_embedding": _t(params["positional_embedding"]),
+        "simmim_head.weight": _t(params["simmim_head"]["kernel"]).T,
+        "simmim_head.bias": _t(params["simmim_head"]["bias"]),
+    }
+    for i in range(_our_block_count(params)):
+        sd.update(
+            _encoder_block_to_torch(
+                params[f"encoder_blocks_{i}"], f"encoder_blocks.{i}"
+            )
+        )
+    return sd
+
+
+def _dino_backbone_to_torch(backbone: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    pe = backbone["patch_embedding"]
+    sd = {
+        f"{prefix}.patch_embedding.proj.weight": _t(pe["proj"]["kernel"]).transpose(
+            3, 2, 0, 1
+        ),
+        f"{prefix}.patch_embedding.proj.bias": _t(pe["proj"]["bias"]),
+        f"{prefix}.patch_embedding.cls_token": _t(pe["cls_token"]),
+        f"{prefix}.patch_embedding.positional_embedding": _t(
+            pe["positional_embedding"]
+        ),
+    }
+    for i in range(_our_block_count(backbone)):
+        sd.update(
+            _encoder_block_to_torch(
+                backbone[f"encoder_blocks_{i}"], f"{prefix}.encoder_blocks.{i}"
+            )
+        )
+    return sd
+
+
+def _dino_head_to_torch(head: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    sd = {}
+    for ours, theirs in (("mlp_0", "0"), ("mlp_2", "2"), ("mlp_4", "4")):
+        sd[f"{prefix}.mlp.{theirs}.weight"] = _t(head[ours]["kernel"]).T
+        sd[f"{prefix}.mlp.{theirs}.bias"] = _t(head[ours]["bias"])
+    fc = head["fully_connected"]
+    sd[f"{prefix}.fully_connected.parametrizations.weight.original0"] = _t(
+        fc["g"]
+    ).reshape(-1, 1)
+    sd[f"{prefix}.fully_connected.parametrizations.weight.original1"] = _t(fc["v"]).T
+    sd[f"{prefix}.fully_connected.bias"] = _t(fc["bias"])
+    return sd
+
+
+def dino_params_to_torch(
+    student: Dict, teacher: Dict, center: np.ndarray
+) -> Dict[str, np.ndarray]:
+    """Our DINO state trees → a reference DINOViT-layout state_dict."""
+    sd = {}
+    sd.update(_dino_backbone_to_torch(student["backbone"], "student_backbone"))
+    sd.update(_dino_head_to_torch(student["head"], "student_head"))
+    sd.update(_dino_backbone_to_torch(teacher["backbone"], "teacher_backbone"))
+    sd.update(_dino_head_to_torch(teacher["head"], "teacher_head"))
+    sd["center"] = _t(center)
+    return sd
+
+
+def save_torch_checkpoint(
+    path: str, state_dict: Dict[str, np.ndarray],
+    metadata: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write a reference-compatible ``.pth`` (torch.save of
+    ``{model_state_dict, **metadata}``) so reference tooling — its
+    evaluators, its visualizers, plain ``torch.load`` — can consume models
+    trained here."""
+    import torch
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "model_state_dict": {
+            k: torch.from_numpy(np.ascontiguousarray(np.asarray(v, np.float32)))
+            for k, v in state_dict.items()
+        }
+    }
+    payload.update(metadata or {})
+    torch.save(payload, path)

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .flash_attention import (
+    attention_nhd,
+    attention_nhd_profitable,
     default_interpret,
     flash_attention_available,
     fused_attention,
@@ -113,6 +115,26 @@ class MultiHeadAttention(nn.Module):
         b, n_q, _ = query.shape
         n_k = key.shape[1]
         d_head = self.d_model // self.num_heads
+        scale = 1.0 / float(d_head) ** 0.5
+
+        if (
+            self.use_flash
+            and not return_attn
+            and n_q == n_k
+            and attention_nhd_profitable(
+                n_q, b, self.num_heads, self.d_model,
+                jnp.dtype(self.dtype).itemsize,
+            )
+        ):
+            # Hot path: the NHD kernel consumes the projections' native
+            # (B, N, H·D) layout and splits heads with in-VMEM lane
+            # slices — no transpose/pad/slice ops exist in the HLO
+            # (they cost more than the kernel itself; docs/performance.md).
+            context = attention_nhd(
+                self.w_query(query), self.w_key(key), self.w_value(value),
+                self.num_heads, scale, default_interpret(),
+            )
+            return self.final_linear(context)
 
         q = self.w_query(query).reshape(b, n_q, self.num_heads, d_head)
         k = self.w_key(key).reshape(b, n_k, self.num_heads, d_head)
@@ -120,7 +142,6 @@ class MultiHeadAttention(nn.Module):
         q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))  # (B,H,N,D)
 
         probs = None
-        scale = 1.0 / float(d_head) ** 0.5
         if self.use_flash and not return_attn and n_q == n_k:
             if not flash_attention_available(n_q):
                 # long sequences: O(N)-memory blockwise online-softmax

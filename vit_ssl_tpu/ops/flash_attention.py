@@ -258,6 +258,245 @@ def _bwd(scale, interpret, res, do):
 fused_attention.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# NHD-layout kernel: consumes the projection's native (B, N, H·D) activations
+# ---------------------------------------------------------------------------
+#
+# The (B, H, N, D) interface above forces the caller to materialise a head
+# transpose of every Q/K/V (and XLA pads N to the sublane granule with
+# explicit pad/slice ops around the custom call). Profiling the DINO step
+# (scripts/profile_step.py) showed that plumbing — layout copies + pads +
+# slices — cost MORE than the kernel itself (~15 of 86 ms/step). This
+# variant instead takes Q/K/V exactly as the Dense projections produce
+# them, grids over batch groups, and splits heads with in-VMEM lane slices;
+# outputs are written back in (B, N, H·D) so the output projection consumes
+# them directly. No transpose, pad, or slice ops exist anywhere in the HLO.
+#
+# Measured v5e fwd+bwd vs the old path (chained timing, all grads consumed):
+# DINO globals (256,145,6): 2.13 vs 2.72 ms (1.28×); supervised (128,145,6):
+# 1.12 vs 1.57 ms (1.40×); (96,512,6): 2.17 vs 3.10 ms (1.43×); ViT-B
+# (64,197,12): 1.23 vs 1.48 ms (1.20×). Gradients match the old kernel
+# bit-exactly. Tiny N (DINO locals, 37) still loses to XLA — gate below.
+
+
+def _nhd_pad(n: int, lane: int = 128) -> tuple[int, int]:
+    """Mosaic-padded (sublane, lane) extents used for VMEM budgeting."""
+    return _round_up(n, 16), _round_up(n, lane)
+
+
+def _nhd_fwd_group(b: int, n: int, hd: int, h: int, itemsize: int,
+                   save_probs: bool) -> int:
+    n_sub, n_lane = _nhd_pad(n)
+    per_b = 4 * n_sub * hd * itemsize  # q/k/v/o blocks
+    if save_probs:
+        per_b += h * n_sub * n_lane * itemsize
+    temps = 2 * n_sub * n_lane * 4  # one head's fp32 scores + probs
+    g = max(1, min(_MAX_GROUP, (_VMEM_BUDGET - temps) // max(2 * per_b, 1)))
+    while g > 1 and b % g != 0:
+        g -= 1
+    return g
+
+
+def _nhd_bwd_group(b: int, n: int, hd: int, h: int, itemsize: int) -> int:
+    n_sub, n_lane = _nhd_pad(n)
+    per_b = (7 * n_sub * hd + h * n_sub * n_lane) * itemsize
+    temps = 3 * n_sub * n_lane * 4
+    g = max(1, min(_MAX_GROUP, (_VMEM_BUDGET - temps) // max(2 * per_b, 1)))
+    while g > 1 and b % g != 0:
+        g -= 1
+    return g
+
+
+_VMEM_HARD = 15 * 1024 * 1024  # scoped-vmem ceiling (16 MB) minus margin
+
+
+def attention_nhd_feasible(b: int, n: int, num_heads: int, hd: int,
+                           itemsize: int = 2) -> bool:
+    """True when the training fwd (probs saved) and bwd fit VMEM at g=1.
+
+    Accounts for Pallas's double-buffered I/O blocks plus the fp32
+    score/probability temporaries of one head. Calibrated against the
+    Mosaic scoped-vmem allocator: (B,512,6·64) fits (measured 1.43× win),
+    (B,512,12·64) rightly rejects (observed 18 MB > 16 MB stack OOM)."""
+    n_sub, n_lane = _nhd_pad(n)
+    fwd = (2 * (4 * n_sub * hd + num_heads * n_sub * n_lane) * itemsize
+           + 2 * n_sub * n_lane * 4)
+    bwd = (2 * (7 * n_sub * hd + num_heads * n_sub * n_lane) * itemsize
+           + 2 * n_sub * n_lane * 4 + n_sub * n_lane * itemsize)
+    return max(fwd, bwd) <= _VMEM_HARD
+
+
+def attention_nhd_profitable(seq_len: int, batch: int, num_heads: int,
+                             hd: int, itemsize: int = 2) -> bool:
+    """Measured gate (v5e, bf16, D=64, chained fwd+bwd, all grads consumed):
+
+    - N < 100 (DINO 48px locals): XLA wins (1.33 vs 1.96 ms at 512×37×6)
+    - 100 ≤ N < 512: kernel when batch·heads ≥ 512 — 1.40× at (128,145,6),
+      1.28× at (256,145,6), 1.20× at (64,197,12); a wash at BH=384 and a
+      loss at BH=96, so small batches fall back
+    - N ≥ 512: kernel whenever it fits VMEM (1.43× at (96,512,6))
+    """
+    if not attention_nhd_feasible(batch, seq_len, num_heads, hd, itemsize):
+        return False
+    if seq_len >= 512:
+        return True
+    if seq_len >= 100:
+        return batch * num_heads >= 512
+    return False
+
+
+def _nhd_fwd_kernel(q_ref, k_ref, v_ref, o_ref, p_ref=None,
+                    *, group: int, heads: int, d: int, scale: float):
+    """Refs are (GROUP, N, H·D); heads are static lane slices."""
+    for j in range(group):
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            q, k, v = q_ref[j, :, sl], k_ref[j, :, sl], v_ref[j, :, sl]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            pn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+            if p_ref is not None:
+                p_ref[j, h] = pn
+            o = jax.lax.dot_general(
+                pn, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[j, :, sl] = o.astype(o_ref.dtype)
+
+
+def _nhd_bwd_kernel(q_ref, k_ref, v_ref, do_ref, p_ref,
+                    dq_ref, dk_ref, dv_ref,
+                    *, group: int, heads: int, d: int, scale: float):
+    """Four matmuls per head; the score gradient never leaves VMEM."""
+    for j in range(group):
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            q, k, v, do = (q_ref[j, :, sl], k_ref[j, :, sl],
+                           v_ref[j, :, sl], do_ref[j, :, sl])
+            pc = p_ref[j, h]
+            p = pc.astype(jnp.float32)
+            dv = jax.lax.dot_general(
+                pc, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(q.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_ref[j, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[j, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[j, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _attention_nhd_fwd_impl(xq, xk, xv, num_heads: int, scale: float,
+                            interpret: bool, save_probs: bool):
+    b, n, hd = xq.shape
+    d = hd // num_heads
+    g = _nhd_fwd_group(b, n, hd, num_heads, xq.dtype.itemsize, save_probs)
+    kernel = functools.partial(
+        _nhd_fwd_kernel, group=g, heads=num_heads, d=d, scale=scale
+    )
+    spec = pl.BlockSpec((g, n, hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, n, hd), xq.dtype)
+    cost = pl.CostEstimate(
+        flops=2 * b * num_heads * n * n * d * 2,
+        bytes_accessed=4 * b * n * hd * xq.dtype.itemsize,
+        transcendentals=b * num_heads * n * n,
+    )
+    if save_probs:
+        p_spec = pl.BlockSpec((g, num_heads, n, n), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // g,),
+            in_specs=[spec, spec, spec],
+            out_specs=(spec, p_spec),
+            out_shape=(out_shape,
+                       jax.ShapeDtypeStruct((b, num_heads, n, n), xq.dtype)),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xq, xk, xv)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xq, xk, xv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def attention_nhd(xq, xk, xv, num_heads: int, scale: float,
+                  interpret: bool = False):
+    """Fused multi-head attention over (B, N, H·D) activations.
+
+    Exact gradients via a second Pallas kernel; the (N, N) probabilities
+    are saved in the training forward (bf16) so the backward skips the
+    QKᵀ/softmax recompute. Output layout equals input layout — the caller
+    never transposes.
+    """
+    return _attention_nhd_fwd_impl(
+        xq, xk, xv, num_heads, scale, interpret, save_probs=False
+    )
+
+
+def _attention_nhd_vjp_fwd(xq, xk, xv, num_heads, scale, interpret):
+    o, probs = _attention_nhd_fwd_impl(
+        xq, xk, xv, num_heads, scale, interpret, save_probs=True
+    )
+    return o, (xq, xk, xv, probs)
+
+
+def _attention_nhd_vjp_bwd(num_heads, scale, interpret, res, do):
+    xq, xk, xv, probs = res
+    b, n, hd = xq.shape
+    d = hd // num_heads
+    g = _nhd_bwd_group(b, n, hd, num_heads, xq.dtype.itemsize)
+    kernel = functools.partial(
+        _nhd_bwd_kernel, group=g, heads=num_heads, d=d, scale=scale
+    )
+    spec = pl.BlockSpec((g, n, hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((g, num_heads, n, n), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((b, n, hd), xq.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[spec, spec, spec, spec, p_spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shp, shp, shp),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * d * 2,
+            bytes_accessed=(7 * b * n * hd + b * num_heads * n * n)
+            * xq.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, xk, xv, do.astype(xq.dtype), probs)
+    return dq, dk.astype(xk.dtype), dv.astype(xv.dtype)
+
+
+attention_nhd.defvjp(_attention_nhd_vjp_fwd, _attention_nhd_vjp_bwd)
+
+
 def flash_attention_available(seq_len: int) -> bool:
     return seq_len <= MAX_FUSED_SEQ
 

@@ -15,6 +15,14 @@ from .ring_attention import (
     ring_attention_available,
     ring_attention_sharded,
 )
+from .pipeline import (
+    PIPE_AXIS,
+    create_pipe_mesh,
+    pipeline_apply,
+    pipeline_sharding,
+    stack_block_params,
+    unstack_block_params,
+)
 from .sharding_rules import (
     MODEL_AXIS,
     create_dp_tp_mesh,
@@ -43,4 +51,10 @@ __all__ = [
     "create_dp_tp_mesh",
     "shard_params",
     "tp_spec_for",
+    "PIPE_AXIS",
+    "create_pipe_mesh",
+    "pipeline_apply",
+    "pipeline_sharding",
+    "stack_block_params",
+    "unstack_block_params",
 ]

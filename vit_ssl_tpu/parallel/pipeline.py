@@ -1,0 +1,176 @@
+"""GPipe-style pipeline parallelism over the encoder stack.
+
+The reference has no parallelism at all (SURVEY.md §2.6); data and tensor
+parallelism live in :mod:`.mesh` / :mod:`.sharding_rules`, sequence
+parallelism in :mod:`.ring_attention`. This module adds the pipeline axis:
+the L encoder blocks are stacked into one pytree with a leading layer
+dimension, that dimension is sharded over a ``'pipe'`` mesh axis (each
+device owns a contiguous stage of L/P layers), and microbatches flow
+through the stages with ``jax.lax.ppermute`` handing activations to the
+next stage over ICI. Differentiable end-to-end: the backward pipeline
+(reverse ``ppermute``) falls out of autodiff, so ``jax.grad`` through
+``pipeline_apply`` is the 1F1B-less GPipe schedule with M microbatches
+and the standard (P−1)/(M+P−1) bubble.
+
+At ViT-SSL scale one chip fits the whole model, so this axis is a
+capability for larger stacks (ViT-g and up) and for composing with data
+parallelism: ``pipeline_apply`` works inside a ``('data', 'pipe')`` mesh
+with the batch sharded on ``'data'``. Numerical equivalence with the
+sequential stack (forward and gradients) is tested on the 8-device CPU
+mesh (tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PIPE_AXIS = "pipe"
+
+
+def stack_block_params(params, num_blocks: int, prefix: str = "encoder_blocks_"):
+    """Collect ``{prefix}{i}`` subtrees into one pytree with a leading
+    layer dimension (the pipeline's shardable axis)."""
+    subtrees = [params[f"{prefix}{i}"] for i in range(num_blocks)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *subtrees)
+
+
+def unstack_block_params(stacked, num_blocks: int,
+                         prefix: str = "encoder_blocks_"):
+    """Inverse of :func:`stack_block_params`."""
+    return {
+        f"{prefix}{i}": jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
+        for i in range(num_blocks)
+    }
+
+
+def pipeline_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for stacked block params: layer axis over the pipe axis."""
+    return NamedSharding(mesh, P(PIPE_AXIS))
+
+
+def create_pipe_mesh(num_devices: int = -1, pp: int = 2,
+                     data_axis: str = "data") -> Mesh:
+    """2-D ('data', 'pipe') mesh: pipeline stages inside data-parallel
+    groups (pp devices per stage group, dp = n // pp)."""
+    import numpy as np
+
+    devices = jax.devices()
+    if num_devices is None or num_devices < 0:
+        num_devices = len(devices)
+    if num_devices % pp != 0:
+        raise ValueError(f"{num_devices} devices not divisible by pp={pp}")
+    arr = np.asarray(devices[:num_devices]).reshape(num_devices // pp, pp)
+    return Mesh(arr, (data_axis, PIPE_AXIS))
+
+
+def _stage_apply(block_fn: Callable, local_params, x):
+    """Run this stage's layers sequentially (lax.scan over the stacked
+    local layer params)."""
+
+    def body(h, layer_params):
+        return block_fn(layer_params, h), None
+
+    h, _ = jax.lax.scan(body, x, local_params)
+    return h
+
+
+def pipeline_apply(
+    block_fn: Callable,
+    stacked_params,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    num_microbatches: int = 0,
+    data_axis: str = "data",
+):
+    """Forward ``x`` through L stacked blocks, pipelined over the mesh's
+    ``'pipe'`` axis (GPipe schedule).
+
+    Args:
+      block_fn: ``(layer_params, h) -> h`` pure single-layer apply.
+      stacked_params: pytree with leading layer dim L (see
+        :func:`stack_block_params`); L must divide by the pipe-axis size.
+      x: activations ``(B, ...)``; if the mesh has a ``data_axis``, B is
+        sharded over it and the pipeline runs per data-parallel group.
+      num_microbatches: GPipe microbatch count M (0 → pipe-axis size).
+        Must divide the per-group batch.
+
+    Returns activations of the final layer, same shape/sharding as ``x``.
+    """
+    axes = dict(mesh.shape)
+    pp = axes.get(PIPE_AXIS, 1)
+    has_data = data_axis in axes
+    m = num_microbatches or pp
+    if pp == 1:
+        return _stage_apply(block_fn, stacked_params, x)
+
+    def shard_body(local_params, x_local):
+        p = jax.lax.axis_index(PIPE_AXIS)
+        b = x_local.shape[0]
+        if b % m != 0:
+            raise ValueError(
+                f"per-group batch {b} not divisible by microbatches {m}"
+            )
+        mb = b // m
+        x_mb = x_local.reshape((m, mb) + x_local.shape[1:])
+
+        zero = jnp.zeros_like(x_mb[0])
+        ys0 = jnp.zeros_like(x_mb)
+        right = [(i, i + 1) for i in range(pp - 1)]
+
+        def tick(carry, t):
+            prev_out, ys = carry
+            # hand the previous tick's output to the next stage
+            recv = jax.lax.ppermute(prev_out, PIPE_AXIS, right) \
+                if right else prev_out
+            # stage 0 injects microbatch t (clamped; extra ticks are bubble)
+            inj = jax.lax.dynamic_index_in_dim(
+                x_mb, jnp.clip(t, 0, m - 1), keepdims=False
+            )
+            h_in = jnp.where(p == 0, inj, recv)
+            h_out = _stage_apply(block_fn, local_params, h_in)
+            # last stage banks microbatch t-(pp-1) when it's a real one
+            idx = jnp.clip(t - (pp - 1), 0, m - 1)
+            valid = (p == pp - 1) & (t >= pp - 1)
+            cur = jax.lax.dynamic_index_in_dim(ys, idx, keepdims=False)
+            ys = jax.lax.dynamic_update_index_in_dim(
+                ys, jnp.where(valid, h_out, cur), idx, 0
+            )
+            return (h_out, ys), None
+
+        (_, ys), _ = jax.lax.scan(
+            tick, (zero, ys0), jnp.arange(m + pp - 1)
+        )
+        # every stage except the last holds zeros — one psum broadcasts the
+        # final activations back to all pipeline stages
+        ys = jax.lax.psum(ys, PIPE_AXIS)
+        return ys.reshape((b,) + x_local.shape[1:])
+
+    in_specs = (
+        P(PIPE_AXIS),
+        P(data_axis) if has_data else P(),
+    )
+    out_specs = P(data_axis) if has_data else P()
+    fn = jax.shard_map(
+        shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(stacked_params, x)
+
+
+def pipeline_available() -> bool:
+    return True
+
+
+__all__ = [
+    "PIPE_AXIS",
+    "create_pipe_mesh",
+    "pipeline_apply",
+    "pipeline_sharding",
+    "stack_block_params",
+    "unstack_block_params",
+]

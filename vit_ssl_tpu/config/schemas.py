@@ -58,6 +58,7 @@ class ModelSchema:
     compute_dtype: str = "bfloat16"
     use_flash_attention: bool = True
     use_fused_mlp: bool = False
+    fast_dropout: bool = True  # uint16-threshold dropout (ops/dropout.py)
     patch_dropout: float = 0.0  # supervised/finetune: PatchDropout keep-subset
 
 

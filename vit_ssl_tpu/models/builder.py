@@ -59,6 +59,7 @@ def _common_kwargs(config) -> Dict[str, Any]:
         dtype=_dtype_from_config(config),
         use_flash=bool(model.get("use_flash_attention", True)),
         use_fused_mlp=bool(model.get("use_fused_mlp", False)),
+        fast_dropout=bool(model.get("fast_dropout", True)),
         init_scheme=str(model.get("init_scheme", "reference")),
         matmul_precision=str(model.get("matmul_precision", "default")),
         remat=bool(config.get("parallel", {}).get("remat", False)),

@@ -131,6 +131,7 @@ class ViTBackbone(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
     use_fused_mlp: bool = False
+    fast_dropout: bool = True
     init_scheme: str = "reference"
     matmul_precision: str = "default"
     remat: bool = False
@@ -168,6 +169,7 @@ class ViTBackbone(nn.Module):
                 param_dtype=self.param_dtype,
                 use_flash=self.use_flash,
                 use_fused_mlp=self.use_fused_mlp,
+                fast_dropout=self.fast_dropout,
                 init_scheme=self.init_scheme,
                 matmul_precision=self.matmul_precision,
                 name=f"encoder_blocks_{i}",
@@ -200,6 +202,7 @@ class DINONetwork(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
     use_fused_mlp: bool = False
+    fast_dropout: bool = True
     init_scheme: str = "reference"
     matmul_precision: str = "default"
     remat: bool = False
@@ -217,6 +220,7 @@ class DINONetwork(nn.Module):
             param_dtype=self.param_dtype,
             use_flash=self.use_flash,
             use_fused_mlp=self.use_fused_mlp,
+            fast_dropout=self.fast_dropout,
             init_scheme=self.init_scheme,
             matmul_precision=self.matmul_precision,
             remat=self.remat,

@@ -43,6 +43,7 @@ class ViT(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
     use_fused_mlp: bool = False
+    fast_dropout: bool = True
     init_scheme: str = "reference"
     matmul_precision: str = "default"
     remat: bool = False
@@ -87,6 +88,7 @@ class ViT(nn.Module):
                 param_dtype=self.param_dtype,
                 use_flash=self.use_flash,
                 use_fused_mlp=self.use_fused_mlp,
+                fast_dropout=self.fast_dropout,
                 init_scheme=self.init_scheme,
                 matmul_precision=self.matmul_precision,
                 name=f"encoder_blocks_{i}",

@@ -1,4 +1,5 @@
 from .attention import MultiHeadAttention, scaled_dot_product_attention
+from .dropout import Dropout, dropout16, dropout_bernoulli
 from .encoder_block import EncoderBlock
 from .feed_forward import FeedForwardBlock
 from .flash_attention import fused_attention, flash_attention_available
@@ -17,6 +18,9 @@ from .patch_embedding import (
 __all__ = [
     "MultiHeadAttention",
     "scaled_dot_product_attention",
+    "Dropout",
+    "dropout16",
+    "dropout_bernoulli",
     "EncoderBlock",
     "FeedForwardBlock",
     "fused_attention",

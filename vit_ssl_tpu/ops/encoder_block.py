@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .attention import MultiHeadAttention
+from .dropout import Dropout
 from .feed_forward import FeedForwardBlock
 
 
@@ -25,6 +26,7 @@ class EncoderBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
     use_fused_mlp: bool = False
+    fast_dropout: bool = True
     init_scheme: str = "reference"
     matmul_precision: str = "default"
 
@@ -60,12 +62,13 @@ class EncoderBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             use_fused=self.use_fused_mlp,
+            fast_dropout=self.fast_dropout,
             init_scheme=self.init_scheme,
             matmul_precision=self.matmul_precision,
             name="feed_forward",
         )
-        drop1 = nn.Dropout(rate=self.dropout, name="drop1")
-        drop2 = nn.Dropout(rate=self.dropout, name="drop2")
+        drop1 = Dropout(rate=self.dropout, fast=self.fast_dropout, name="drop1")
+        drop2 = Dropout(rate=self.dropout, fast=self.fast_dropout, name="drop2")
 
         x = x.astype(self.dtype)
         residual = x

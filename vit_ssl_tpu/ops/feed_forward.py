@@ -29,6 +29,7 @@ class FeedForwardBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_fused: bool = False
+    fast_dropout: bool = True
     init_scheme: str = "reference"
     matmul_precision: str = "default"
 
@@ -56,12 +57,19 @@ class FeedForwardBlock(nn.Module):
         w1c, b1c = w1.astype(self.dtype), b1.astype(self.dtype)
         w2c, b2c = w2.astype(self.dtype), b2.astype(self.dtype)
 
+        def keep_mask(rng, shape):
+            """uint16-threshold mask (ops/dropout.py) or the reference
+            fp32-uniform Bernoulli, per ``fast_dropout``."""
+            if self.fast_dropout:
+                thresh = jnp.uint16(round(self.dropout * 65536))
+                return jax.random.bits(rng, shape, jnp.uint16) >= thresh
+            return jax.random.bernoulli(rng, keep_prob, shape)
+
         if self.use_fused:
             flat = xc.reshape(b * n, d)
             mask = None
             if apply_dropout:
-                rng = self.make_rng("dropout")
-                mask = jax.random.bernoulli(rng, keep_prob, (b * n, self.d_ff))
+                mask = keep_mask(self.make_rng("dropout"), (b * n, self.d_ff))
             out = fused_mlp(
                 flat, w1c, b1c, w2c, b2c, mask, keep_prob, default_interpret()
             )
@@ -71,7 +79,6 @@ class FeedForwardBlock(nn.Module):
         h = jnp.dot(xc, w1c, precision=prec) + b1c
         h = _gelu_exact(h)
         if apply_dropout:
-            rng = self.make_rng("dropout")
-            mask = jax.random.bernoulli(rng, keep_prob, h.shape)
+            mask = keep_mask(self.make_rng("dropout"), h.shape)
             h = jnp.where(mask, h / keep_prob, 0.0).astype(self.dtype)
         return jnp.dot(h, w2c, precision=prec) + b2c

@@ -39,6 +39,14 @@ VIT_S = dict(
     patch=8, img=96, local_img=48, output_dim=16384, ng=2, na=6,
 )
 
+# Encoder widths for --variant (supervised/simmim step benchmarks at
+# production scales; vit_s matches the reference's 6-block model).
+VARIANTS = {
+    "vit_s": dict(embed_dim=384, num_blocks=6, num_heads=6, mlp_dim=1536),
+    "vit_b": dict(embed_dim=768, num_blocks=12, num_heads=12, mlp_dim=3072),
+    "vit_l": dict(embed_dim=1024, num_blocks=24, num_heads=16, mlp_dim=4096),
+}
+
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip (public spec).
 PEAK_FLOPS = {"tpu": 197e12}
 
@@ -94,16 +102,22 @@ def dino_step_flops(batch: int, cfg=VIT_S) -> float:
     return 3 * student + teacher  # fwd + 2×fwd (bwd) + teacher fwd
 
 
-def supervised_step_flops(batch: int, img: int = 192, patch: int = 16) -> float:
+def supervised_step_flops(batch: int, img: int = 192, patch: int = 16,
+                          variant: str = "vit_s") -> float:
+    v = VARIANTS[variant]
     seq = (img // patch) ** 2 + 1
-    fwd = vit_fwd_flops(batch, seq, 6, 384, 1536, 3 * patch * patch)
+    fwd = vit_fwd_flops(batch, seq, v["num_blocks"], v["embed_dim"],
+                        v["mlp_dim"], 3 * patch * patch)
     return 3 * fwd
 
 
-def simmim_step_flops(batch: int, img: int = 192, patch: int = 16) -> float:
+def simmim_step_flops(batch: int, img: int = 192, patch: int = 16,
+                      variant: str = "vit_s") -> float:
+    v = VARIANTS[variant]
     seq = (img // patch) ** 2
-    fwd = vit_fwd_flops(batch, seq, 6, 384, 1536, 3 * patch * patch)
-    head = 2 * batch * seq * 384 * (3 * patch * patch)
+    fwd = vit_fwd_flops(batch, seq, v["num_blocks"], v["embed_dim"],
+                        v["mlp_dim"], 3 * patch * patch)
+    head = 2 * batch * seq * v["embed_dim"] * (3 * patch * patch)
     return 3 * (fwd + head)
 
 
@@ -149,22 +163,29 @@ def measure_steps(step_once, state, reps: int, outer: int) -> float:
     return max(dt, 1e-9) / (reps * outer)
 
 
-def _model_common(use_flash: bool, img: int):
+def _model_common(use_flash: bool, img: int, variant: str = "vit_s",
+                  remat: bool = False):
     import jax
     import jax.numpy as jnp
 
     return dict(
-        num_blocks=6, input_shape=(3, img, img), embed_dim=384,
-        patch_size=16, num_heads=6, mlp_dim=1536, dropout=0.1,
+        input_shape=(3, img, img),
+        patch_size=16, dropout=0.1,
         dtype=jnp.bfloat16,
         use_flash=use_flash and jax.default_backend() == "tpu",
         use_fused_mlp=False,
+        remat=remat,
+        **VARIANTS[variant],
     )
 
 
 def bench_mode(mode: str, batch: int, warmup: int, iters: int,
-               use_flash: bool = True) -> dict:
-    """Step throughput for supervised/simmim at ViT-S reference configs."""
+               use_flash: bool = True, variant: str = "vit_s",
+               img: int = 192, grad_accum: int = 1,
+               remat: bool = False) -> dict:
+    """Step throughput for supervised/simmim; ``variant`` scales the
+    encoder to ViT-B/L production widths (with optional grad accumulation
+    and rematerialisation for shapes past one chip's HBM)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -177,8 +198,8 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
     jax.config.update("jax_default_prng_impl", "rbg")
     iters = max(iters, 10)  # short timing loops mis-measure on this tunnel
     rs = np.random.RandomState(0)
-    img, patch = 192, 16
-    common = _model_common(use_flash, img)
+    patch = 16
+    common = _model_common(use_flash, img, variant, remat)
     tx = optax.adamw(1e-4, weight_decay=1e-3)
     image = jax.device_put((rs.rand(batch, img, img, 3) * 255).astype(np.uint8))
     weight = jax.device_put(np.ones(batch, np.float32))
@@ -187,11 +208,11 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
         model = ViT(num_classes=10, **common)
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)))["params"]
         state = create_train_state(params, tx, jax.random.PRNGKey(1))
-        step, _ = make_supervised_steps(model, tx)
+        step, _ = make_supervised_steps(model, tx, grad_accum=grad_accum)
         b = {"image": image, "label": jax.device_put(rs.randint(0, 10, batch).astype(np.int32)),
              "weight": weight}
         run = lambda s: step(s, b)  # noqa: E731
-        flops = supervised_step_flops(batch, img, patch)
+        flops = supervised_step_flops(batch, img, patch, variant)
     elif mode == "simmim":
         model = SimMIMViT(mask_ratio=0.5, **common)
         variables = model.init(
@@ -199,10 +220,11 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
             jnp.zeros((1, img, img, 3)),
         )
         state = create_train_state(variables["params"], tx, jax.random.PRNGKey(2))
-        step, _ = make_simmim_steps(model, tx, patch_size=patch, channels=3)
+        step, _ = make_simmim_steps(model, tx, patch_size=patch, channels=3,
+                                    grad_accum=grad_accum)
         b = {"image": image, "weight": weight}
         run = lambda s: step(s, b)  # noqa: E731
-        flops = simmim_step_flops(batch, img, patch)
+        flops = simmim_step_flops(batch, img, patch, variant)
     else:
         raise ValueError(mode)
 
@@ -215,7 +237,10 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
     ms = sec * 1e3
     ips = batch / sec
     mfu = flops / sec / peak_flops()
-    log(f"[ours/{mode}{'' if use_flash else '/xla'}] {ips:.1f} img/s/chip, "
+    tag = f"ours/{mode}{'' if use_flash else '/xla'}"
+    if variant != "vit_s":
+        tag += f"/{variant}"
+    log(f"[{tag}] {ips:.1f} img/s/chip, "
         f"{ms:.2f} ms/step, {flops/1e12:.2f} TFLOP/step, MFU {mfu:.1%}")
     return {"images_per_sec": ips, "ms_per_step": ms, "tflop_per_step": flops / 1e12,
             "mfu": mfu}
@@ -419,20 +444,51 @@ def main(argv=None):
     )
     parser.add_argument("--baseline-batch", type=int, default=8)
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument(
+        "--variant", choices=sorted(VARIANTS), default=None,
+        help="bench ONE supervised/simmim step at a production encoder "
+        "width (vit_b/vit_l) instead of the DINO headline; combine with "
+        "--variant-mode/--img/--grad-accum/--remat",
+    )
+    parser.add_argument("--variant-mode", default="supervised",
+                        choices=["supervised", "simmim"])
+    parser.add_argument("--img", type=int, default=224)
+    parser.add_argument("--grad-accum", type=int, default=1)
+    parser.add_argument("--remat", action="store_true")
     args = parser.parse_args(argv)
 
     warmup, iters = (1, 3) if args.quick else (3, 10)
     base_iters = 2 if args.quick else 3
 
-    # warm the one-time device->host channel init (~400 s on the axon
-    # tunnel) in the background so it overlaps the first compile — every
-    # measurement synchronises on a real value fetch
-    def _warm():
+    def _warm_channel():
         import jax.numpy as jnp
 
         float(jnp.zeros(()))
 
-    threading.Thread(target=_warm, daemon=True).start()
+    if args.variant:
+        threading.Thread(target=_warm_channel, daemon=True).start()
+        r = bench_mode(
+            args.variant_mode, args.batch, warmup, iters,
+            variant=args.variant, img=args.img,
+            grad_accum=args.grad_accum, remat=args.remat,
+        )
+        result = {
+            "metric": f"{args.variant_mode}_{args.variant}_throughput",
+            "value": round(r["images_per_sec"], 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "ms_per_step": round(r["ms_per_step"], 2),
+            "mfu": round(r["mfu"], 4),
+            "config": {"img": args.img, "batch": args.batch,
+                       "grad_accum": args.grad_accum, "remat": args.remat},
+        }
+        print(json.dumps(result), flush=True)
+        return result
+
+    # warm the one-time device->host channel init (~400 s on the axon
+    # tunnel) in the background so it overlaps the first compile — every
+    # measurement synchronises on a real value fetch
+    threading.Thread(target=_warm_channel, daemon=True).start()
 
     modes = {}
     if args.all_modes:

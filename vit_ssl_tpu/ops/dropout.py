@@ -28,14 +28,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def keep_mask16(rng, shape, rate: float) -> jnp.ndarray:
+    """Boolean keep-mask via uint16 threshold (True = keep)."""
+    thresh = jnp.uint16(round(rate * 65536))
+    return jax.random.bits(rng, shape, jnp.uint16) >= thresh
+
+
 def dropout16(rng, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     """Inverted dropout via uint16 threshold; scales kept values by
     1/(1-rate)."""
     if rate <= 0.0:
         return x
-    thresh = jnp.uint16(round(rate * 65536))
-    bits = jax.random.bits(rng, x.shape, jnp.uint16)
-    return jnp.where(bits >= thresh, x / (1.0 - rate), jnp.zeros((), x.dtype))
+    keep = keep_mask16(rng, x.shape, rate)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
 
 
 def dropout_bernoulli(rng, x: jnp.ndarray, rate: float) -> jnp.ndarray:

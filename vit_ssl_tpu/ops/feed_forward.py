@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .dropout import keep_mask16
 from .fused_mlp import _gelu_exact, default_interpret, fused_mlp
 from .initializers import InitScheme
 from .precision import resolve_precision
@@ -61,8 +62,7 @@ class FeedForwardBlock(nn.Module):
             """uint16-threshold mask (ops/dropout.py) or the reference
             fp32-uniform Bernoulli, per ``fast_dropout``."""
             if self.fast_dropout:
-                thresh = jnp.uint16(round(self.dropout * 65536))
-                return jax.random.bits(rng, shape, jnp.uint16) >= thresh
+                return keep_mask16(rng, shape, self.dropout)
             return jax.random.bernoulli(rng, keep_prob, shape)
 
         if self.use_fused:

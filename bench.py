@@ -246,7 +246,9 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
             "mfu": mfu}
 
 
-def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True) -> dict:
+def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
+               variant: str = "vit_s", grad_accum: int = 1,
+               remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -257,7 +259,8 @@ def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True) -> d
     from vit_ssl_tpu.train.state import create_train_state
     from vit_ssl_tpu.train.steps import make_dino_steps
 
-    cfg = VIT_S
+    cfg = dict(VIT_S)
+    cfg.update(VARIANTS[variant])
     jax.config.update("jax_default_prng_impl", "rbg")
     # persistent compile cache: repeat runs (the driver re-runs this file)
     # skip the multi-minute remote Mosaic/XLA compiles
@@ -289,6 +292,7 @@ def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True) -> d
         dtype=jnp.bfloat16,
         use_flash=use_flash and jax.default_backend() == "tpu",
         use_fused_mlp=False,
+        remat=remat,
     )
     rng = jax.random.PRNGKey(0)
     mesh = create_mesh(-1)
@@ -324,6 +328,7 @@ def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True) -> d
     train_step, _ = make_dino_steps(
         model, tx, num_global_views=cfg["ng"], num_all_views=cfg["na"],
         student_temp=0.1, center_momentum=0.9, view_fn=view_fn,
+        grad_accum=grad_accum,
     )
 
     rs = np.random.RandomState(0)
@@ -343,10 +348,11 @@ def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True) -> d
     log(f"[ours] compile+measure wall: {time.perf_counter() - t0:.1f}s")
     ips = batch / sec
     ms = sec * 1e3
-    flops = dino_step_flops(batch)
+    flops = dino_step_flops(batch, cfg)
     mfu = flops / sec / peak_flops()
     d2h_warmup.join()
-    log(f"[ours/dino{'' if use_flash else '/xla'}] {ips:.1f} img/s/chip, "
+    log(f"[ours/dino{'' if use_flash else '/xla'}"
+        f"{'' if variant == 'vit_s' else '/' + variant}] {ips:.1f} img/s/chip, "
         f"{ms:.2f} ms/step, {flops/1e12:.2f} TFLOP/step, MFU {mfu:.1%}")
     return {"images_per_sec": ips, "ms_per_step": ms,
             "tflop_per_step": flops / 1e12, "mfu": mfu}
@@ -451,7 +457,7 @@ def main(argv=None):
         "--variant-mode/--img/--grad-accum/--remat",
     )
     parser.add_argument("--variant-mode", default="supervised",
-                        choices=["supervised", "simmim"])
+                        choices=["supervised", "simmim", "dino"])
     parser.add_argument("--img", type=int, default=224)
     parser.add_argument("--grad-accum", type=int, default=1)
     parser.add_argument("--remat", action="store_true")
@@ -467,11 +473,19 @@ def main(argv=None):
 
     if args.variant:
         threading.Thread(target=_warm_channel, daemon=True).start()
-        r = bench_mode(
-            args.variant_mode, args.batch, warmup, iters,
-            variant=args.variant, img=args.img,
-            grad_accum=args.grad_accum, remat=args.remat,
-        )
+        if args.variant_mode == "dino":
+            r = bench_ours(
+                args.batch, warmup, iters, variant=args.variant,
+                grad_accum=args.grad_accum, remat=args.remat,
+            )
+        else:
+            r = bench_mode(
+                args.variant_mode, args.batch, warmup, iters,
+                variant=args.variant, img=args.img,
+                grad_accum=args.grad_accum, remat=args.remat,
+            )
+        img_echo = (f"{VIT_S['img']}g/{VIT_S['local_img']}l"
+                    if args.variant_mode == "dino" else args.img)
         result = {
             "metric": f"{args.variant_mode}_{args.variant}_throughput",
             "value": round(r["images_per_sec"], 2),
@@ -479,7 +493,7 @@ def main(argv=None):
             "vs_baseline": None,
             "ms_per_step": round(r["ms_per_step"], 2),
             "mfu": round(r["mfu"], 4),
-            "config": {"img": args.img, "batch": args.batch,
+            "config": {"img": img_echo, "batch": args.batch,
                        "grad_accum": args.grad_accum, "remat": args.remat},
         }
         print(json.dumps(result), flush=True)

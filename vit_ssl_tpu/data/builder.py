@@ -117,7 +117,19 @@ def prepare_dataloaders(config, transforms, mode) -> Tuple[DataLoader, DataLoade
         logger.info("Multiple evaluation modes detected: %s", mode)
     else:
         data_loading_mode = str(mode).lower()
-    logger.info("Preparing dataloaders for mode: '%s'", data_loading_mode)
+    if "eval" in data_loading_mode:
+        # eval_* modes read eval.data_dir/eval.data_csv (reference
+        # convention), falling back to data.* — surface the resolved path
+        # so a shadowed data.* override is visible
+        resolved = config.get("eval", {}).get(
+            "data_dir", config.get("data", {}).get("data_dir")
+        )
+        logger.info(
+            "Preparing dataloaders for mode: '%s' (eval.data_dir -> %s)",
+            data_loading_mode, resolved,
+        )
+    else:
+        logger.info("Preparing dataloaders for mode: '%s'", data_loading_mode)
 
     train_full, val_full = _get_dataset(config, data_loading_mode, transforms)
 

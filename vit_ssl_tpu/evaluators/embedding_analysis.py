@@ -15,7 +15,8 @@ CSV/txt reports are generated from metric metadata rather than hand-written
 rows, and the 3D rotation animation uses matplotlib's FuncAnimation.
 
 umap-learn is not installed in this environment; when absent the projector
-falls back to PCA (sklearn) with a logged warning — the quality metrics on
+is the from-scratch UMAP implementation (:mod:`.umap_native`, the paper's
+algorithm with a JAX-jitted layout loop) — the quality metrics on
 *features* are projector-independent, only the 2D scatter changes flavor.
 """
 
@@ -49,10 +50,11 @@ except Exception:  # pragma: no cover - environment-dependent
 
 
 def projector_name() -> str:
-    """Which 2D/3D projector the analysis actually uses — 'UMAP' when
-    umap-learn is installed, else 'PCA'. Plot titles and reports use this
-    so PCA-fallback artifacts are never mislabeled as UMAP."""
-    return "UMAP" if _HAVE_UMAP else "PCA"
+    """Which 2D/3D projector the analysis actually uses — umap-learn when
+    installed, else the from-scratch paper implementation
+    (:mod:`.umap_native`). Plot titles and reports use this so artifacts
+    are never mislabeled."""
+    return "UMAP" if _HAVE_UMAP else "UMAP (native)"
 
 
 def _project(features: np.ndarray, n_components: int, umap_params: Optional[Dict]):
@@ -66,12 +68,14 @@ def _project(features: np.ndarray, n_components: int, umap_params: Optional[Dict
     if _HAVE_UMAP:
         reducer = UMAP(**params)
         return np.asarray(reducer.fit_transform(features))
-    logger.warning("umap-learn not installed — falling back to PCA projection")
-    from sklearn.decomposition import PCA
-
-    return np.asarray(
-        PCA(n_components=n_components, random_state=42).fit_transform(features)
+    logger.info(
+        "umap-learn not installed — using the native UMAP implementation "
+        "(vit_ssl_tpu.evaluators.umap_native)"
     )
+    from .umap_native import NativeUMAP
+
+    params.setdefault("random_state", 42)
+    return np.asarray(NativeUMAP(**params).fit_transform(features))
 
 
 def prepare_combined_features(train_features, train_labels, val_features, val_labels):
@@ -314,7 +318,9 @@ def save_results(metrics, quality, feedback, output_dir):
         "=" * 40,
         "",
         f"Projector: {projector_name()}"
-        + ("" if _HAVE_UMAP else " (umap-learn not installed; PCA fallback)"),
+        + ("" if _HAVE_UMAP
+           else " (from-scratch implementation of arXiv:1802.03426 — "
+                "vit_ssl_tpu/evaluators/umap_native.py)"),
         f"Overall Assessment: {quality}",
         "",
         "Detailed Metrics:",

@@ -277,3 +277,57 @@ def test_unfreeze_at_epoch_resumes_backbone_updates(data_root, tmp_path):
     a = np.asarray(ssl_tree["params"]["encoder_blocks_0"]["feed_forward"]["w1"])
     b = np.asarray(ft_tree["params"]["encoder_blocks_0"]["feed_forward"]["w1"])
     assert not np.array_equal(a, b), "backbone should train after unfreezing"
+
+
+def test_eval_of_finetune_experiment_loads_trained_checkpoint(data_root, tmp_path):
+    """Regression: evaluating a FINISHED finetune experiment must load its
+    own best_model — not re-derive the (PARTIAL) pretrained-path surgery
+    tree, which is missing e.g. the patch embedding for DINO sources and
+    crashed apply with ScopeParamNotFoundError."""
+    import jax.numpy as jnp
+
+    from vit_ssl_tpu.config import compose
+    from vit_ssl_tpu.evaluators.evaluator_utils import (
+        merge_with_experiment_config,
+    )
+    from vit_ssl_tpu.evaluators.unsupervised_evaluator import load_model_state
+    from vit_ssl_tpu.utils.checkpoint import load_checkpoint
+
+    ssl_dir = str(tmp_path / "ssl3")
+    train_cli.main(
+        [
+            "--config-name", "simmim",
+            f"data.data_dir={data_root}/unlabeled_images",
+            *_common(data_root, ssl_dir),
+        ]
+    )
+    ft_dir = str(tmp_path / "ft_eval")
+    train_cli.main(
+        [
+            "--config-name", "finetune",
+            f"data.data_dir={data_root}/train_images",
+            f"data.data_csv={data_root}/train_labels.json",
+            "model.num_classes=3",
+            f"training.pretrained_path={ssl_dir}/best_model",
+            *_common(data_root, ft_dir),
+        ]
+    )
+
+    cfg = compose(
+        "configs", "supervised_eval",
+        [f"eval.experiment_path={ft_dir}", "data.num_workers=0"],
+    )
+    cfg = merge_with_experiment_config(cfg)
+    bundle, state = load_model_state(cfg)
+
+    # the trained checkpoint's weights, not the surgery re-derivation
+    best, _ = load_checkpoint(os.path.join(ft_dir, "best_model"))
+    got = np.asarray(state.params["classification_head"]["linear"]["kernel"])
+    want = np.asarray(best["params"]["classification_head"]["linear"]["kernel"])
+    np.testing.assert_array_equal(got, want)
+
+    # and the params tree must be applyable end to end
+    logits = bundle.module.apply(
+        {"params": state.params}, jnp.zeros((2, 16, 16, 3))
+    )
+    assert logits.shape == (2, 3)

@@ -74,8 +74,18 @@ def _default_transforms(img_size: int):
 
 
 def load_model_state(config):
-    """Build the experiment's model and load its best checkpoint."""
-    from ..models.builder import build_model
+    """Build the experiment's model and load its trained weights.
+
+    Priority: the experiment's own ``best_model`` checkpoint (what the
+    reference's evaluators load, `supervised_evaluator.py:30-43`) wins
+    over re-deriving weights from ``training.pretrained_path``. The
+    pretrained path is only a fallback (evaluating a finetune experiment
+    that never completed an epoch), and it goes through the same
+    ``load_weights`` surgery as training — the surgery tree is PARTIAL
+    (e.g. DINO→ViT skips the patch embedding by default), so raw
+    tree-replacement would produce an un-applyable params dict.
+    """
+    from ..models.builder import build_model, load_weights
     from ..utils.checkpoint import checkpoint_exists, load_checkpoint
 
     bundle = build_model(config)
@@ -83,21 +93,37 @@ def load_model_state(config):
 
     trees = bundle.init_fn(jax.random.PRNGKey(0))
     exp_path = config.get("eval", {}).get("experiment_path")
-    if bundle.pretrained is not None:
-        trees.update({k: v for k, v in bundle.pretrained.items() if v is not None})
-    elif exp_path:
-        ckpt = os.path.join(exp_path, "best_model")
-        if checkpoint_exists(ckpt):
-            tree, _ = load_checkpoint(ckpt)
-            for key in ("params", "teacher_params", "center"):
-                if key in tree:
-                    trees[key] = tree[key]
-            logger.info("Loaded checkpoint '%s'", ckpt)
-        else:
-            logger.warning(
-                "No best_model checkpoint under %s — evaluating current init "
-                "(the reference silently does this too)", exp_path,
+    ckpt = os.path.join(exp_path, "best_model") if exp_path else None
+    if bundle.mode != "eval_dino" and ckpt and checkpoint_exists(ckpt):
+        tree, _ = load_checkpoint(ckpt)
+        for key in ("params", "teacher_params", "center"):
+            if key in tree:
+                trees[key] = tree[key]
+        logger.info("Loaded checkpoint '%s'", ckpt)
+    elif bundle.pretrained is not None:
+        # eval_dino: bundle.pretrained IS the experiment's best_model
+        # (complete student/teacher/center trees). finetune fallback:
+        # partial surgery source — merge, don't replace.
+        if bundle.mode == "finetune":
+            extended = bool(config["training"].get("extended_transfer", False))
+            from ..train.trainers.supervised import _merged_pre
+
+            trees["params"] = load_weights(
+                trees["params"], _merged_pre(bundle.pretrained), extended
             )
+            logger.warning(
+                "No best_model under %s — evaluating the pretrained-path "
+                "surgery weights (untrained head)", exp_path,
+            )
+        else:
+            trees.update(
+                {k: v for k, v in bundle.pretrained.items() if v is not None}
+            )
+    elif exp_path:
+        logger.warning(
+            "No best_model checkpoint under %s — evaluating current init "
+            "(the reference silently does this too)", exp_path,
+        )
     state = EvalState(
         params=trees["params"],
         teacher_params=trees.get("teacher_params"),

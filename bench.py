@@ -436,6 +436,30 @@ def bench_reference_cpu(batch: int, iters: int, use_cache: bool = True) -> float
         sys.path.remove(REFERENCE_PATH)
 
 
+
+def _with_retries(fn, what: str, attempts: int = 3, required: bool = True):
+    """Run a bench leg, retrying transient axon-tunnel failures.
+
+    The remote-compile channel occasionally drops mid-compile
+    ("remote_compile: read body: response body closed..."); a retry
+    recompiles (persistent cache makes it cheap). Optional legs (the
+    XLA-only comparisons) return None after exhausting retries instead of
+    killing the headline measurement."""
+    last = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # transient tunnel / runtime errors
+            last = e
+            log(f"[{what}] attempt {attempt + 1}/{attempts} failed: "
+                f"{type(e).__name__}: {str(e)[:160]}")
+            time.sleep(20 * (attempt + 1))
+    if required:
+        raise last
+    log(f"[{what}] giving up (optional leg) — reporting without it")
+    return None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--quick", action="store_true")
@@ -507,18 +531,29 @@ def main(argv=None):
     modes = {}
     if args.all_modes:
         for mode in ("supervised", "simmim"):
-            modes[mode] = bench_mode(mode, args.batch, warmup, iters)
+            modes[mode] = _with_retries(
+                lambda m=mode: bench_mode(m, args.batch, warmup, iters),
+                f"ours/{mode}")
             if not args.no_xla_compare:
-                xla = bench_mode(mode, args.batch, warmup, iters, use_flash=False)
-                modes[mode]["vs_xla"] = xla["ms_per_step"] / modes[mode]["ms_per_step"]
-                modes[f"{mode}_xla"] = xla
+                xla = _with_retries(
+                    lambda m=mode: bench_mode(m, args.batch, warmup, iters,
+                                              use_flash=False),
+                    f"ours/{mode}/xla", required=False)
+                if xla is not None:
+                    modes[mode]["vs_xla"] = (
+                        xla["ms_per_step"] / modes[mode]["ms_per_step"])
+                    modes[f"{mode}_xla"] = xla
 
-    ours = bench_ours(args.batch, warmup, iters)
+    ours = _with_retries(lambda: bench_ours(args.batch, warmup, iters),
+                         "ours/dino")
     modes["dino"] = ours
     if not args.no_xla_compare:
-        xla = bench_ours(args.batch, warmup, iters, use_flash=False)
-        ours["vs_xla"] = xla["ms_per_step"] / ours["ms_per_step"]
-        modes["dino_xla"] = xla
+        xla = _with_retries(
+            lambda: bench_ours(args.batch, warmup, iters, use_flash=False),
+            "ours/dino/xla", required=False)
+        if xla is not None:
+            ours["vs_xla"] = xla["ms_per_step"] / ours["ms_per_step"]
+            modes["dino_xla"] = xla
 
     if args.skip_baseline:
         baseline = float("nan")

@@ -198,3 +198,135 @@ def test_dino_matches_full_batch():
             float(out_f["dino_stats"][key]), float(out_a["dino_stats"][key]),
             rtol=1e-4,
         )
+
+
+def test_dino_weighted_padding_exact():
+    """The repo contract says every loss/metric is weight-exact under
+    padded batches (train/steps.py). For DINO that includes the center EMA
+    and the collapse stats: a padded batch (loader pads with copies of
+    sample 0 at weight 0) must produce the SAME loss, center, updated
+    params, and distribution stats as the truncated batch."""
+    from vit_ssl_tpu.models import DINONetwork
+    from vit_ssl_tpu.train.steps import make_dino_steps
+
+    model = DINONetwork(
+        num_blocks=1, input_shape=(3, 16, 16), embed_dim=32, patch_size=8,
+        num_heads=2, mlp_dim=64, dropout=0.0, output_dim=16,
+        use_flash=False, use_fused_mlp=False,
+    )
+    rs = np.random.RandomState(3)
+    b_real, b_pad = 6, 8
+
+    def make_views(b):
+        g = [rs.rand(b, 16, 16, 3).astype(np.float32) for _ in range(2)]
+        l = [rs.rand(b, 8, 8, 3).astype(np.float32) for _ in range(2)]
+        return g + l
+
+    views_real = make_views(b_real)
+    # pad rows duplicate sample 0 (data/loader.py::_collate contract)
+    views_padded = [
+        jnp.asarray(np.concatenate([v, np.repeat(v[:1], b_pad - b_real, 0)]))
+        for v in views_real
+    ]
+    views_real = [jnp.asarray(v) for v in views_real]
+    w_padded = np.zeros((b_pad,), np.float32)
+    w_padded[:b_real] = 1.0
+
+    batch_real = {"views": views_real, "weight": jnp.ones((b_real,), jnp.float32)}
+    batch_padded = {"views": views_padded, "weight": jnp.asarray(w_padded)}
+
+    def fresh_state(tx):
+        student = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+        teacher = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), student)
+        center = jnp.zeros((1, 16), jnp.float32)
+        return create_train_state(
+            student, tx, jax.random.PRNGKey(1),
+            teacher_params=teacher, center=center,
+        )
+
+    tx = optax.adamw(1e-3, weight_decay=1e-3)
+    kw = dict(num_global_views=2, num_all_views=4, student_temp=0.1,
+              center_momentum=0.9, donate=False, teacher_dropout=False)
+    step, _ = make_dino_steps(model, tx, **kw)
+
+    s_real = fresh_state(tx)
+    s_pad = fresh_state(tx)
+    tt, tm = jnp.float32(0.04), jnp.float32(0.996)
+    s_real, out_r = step(s_real, batch_real, tt, tm)
+    s_pad, out_p = step(s_pad, batch_padded, tt, tm)
+
+    np.testing.assert_allclose(
+        float(out_r["loss"]), float(out_p["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_real.center), np.asarray(s_pad.center), atol=1e-7
+    )
+    for a, bb in zip(
+        jax.tree_util.tree_leaves(s_real.params),
+        jax.tree_util.tree_leaves(s_pad.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-6)
+    for key, val in out_r["dino_stats"].items():
+        np.testing.assert_allclose(
+            float(val), float(out_p["dino_stats"][key]), rtol=1e-5, atol=1e-6,
+            err_msg=f"stat {key} not weight-exact under padding",
+        )
+
+
+def test_dino_accum_weighted_padding_exact():
+    """Same contract through the two-pass accumulation path: the padded
+    batch at grad_accum=2 must match the fused truncated batch."""
+    from vit_ssl_tpu.models import DINONetwork
+    from vit_ssl_tpu.train.steps import make_dino_steps
+
+    model = DINONetwork(
+        num_blocks=1, input_shape=(3, 16, 16), embed_dim=32, patch_size=8,
+        num_heads=2, mlp_dim=64, dropout=0.0, output_dim=16,
+        use_flash=False, use_fused_mlp=False,
+    )
+    rs = np.random.RandomState(4)
+    b_real, b_pad = 6, 8
+    views_real = (
+        [rs.rand(b_real, 16, 16, 3).astype(np.float32) for _ in range(2)]
+        + [rs.rand(b_real, 8, 8, 3).astype(np.float32) for _ in range(2)]
+    )
+    views_padded = [
+        jnp.asarray(np.concatenate([v, np.repeat(v[:1], b_pad - b_real, 0)]))
+        for v in views_real
+    ]
+    w_padded = np.zeros((b_pad,), np.float32)
+    w_padded[:b_real] = 1.0
+    batch_real = {
+        "views": [jnp.asarray(v) for v in views_real],
+        "weight": jnp.ones((b_real,), jnp.float32),
+    }
+    batch_padded = {"views": views_padded, "weight": jnp.asarray(w_padded)}
+
+    def fresh_state(tx):
+        student = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+        teacher = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), student)
+        return create_train_state(
+            student, tx, jax.random.PRNGKey(1),
+            teacher_params=teacher, center=jnp.zeros((1, 16), jnp.float32),
+        )
+
+    tx = optax.adamw(1e-3, weight_decay=1e-3)
+    kw = dict(num_global_views=2, num_all_views=4, student_temp=0.1,
+              center_momentum=0.9, donate=False, teacher_dropout=False)
+    step_full, _ = make_dino_steps(model, tx, **kw)
+    step_acc, _ = make_dino_steps(model, tx, grad_accum=2, **kw)
+
+    s_real = fresh_state(tx)
+    s_pad = fresh_state(tx)
+    tt, tm = jnp.float32(0.04), jnp.float32(0.996)
+    s_real, out_r = step_full(s_real, batch_real, tt, tm)
+    s_pad, out_p = step_acc(s_pad, batch_padded, tt, tm)
+    np.testing.assert_allclose(float(out_r["loss"]), float(out_p["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_real.center), np.asarray(s_pad.center), atol=1e-6
+    )
+    for a, bb in zip(
+        jax.tree_util.tree_leaves(s_real.params),
+        jax.tree_util.tree_leaves(s_pad.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)

@@ -55,7 +55,12 @@ class TestGraph:
         idx, dists = _knn(x, 5, "euclidean")
         rho, sigma = _smooth_knn_calibration(dists, 5)
         heads, tails, w = _fuzzy_simplicial_set(idx, dists, rho, sigma)
-        assert (heads < tails).all()  # one entry per undirected edge
+        # both directed copies of every symmetrised edge (umap-learn's COO
+        # layout — repulsion is head-only, so every endpoint must be a head)
+        assert (heads != tails).all()  # no self-edges
+        fwd = {(int(h), int(t)): float(v) for h, t, v in zip(heads, tails, w)}
+        for (h, t), v in fwd.items():
+            assert (t, h) in fwd and abs(fwd[(t, h)] - v) < 1e-12
         assert (w > 0).all() and (w <= 1.0 + 1e-9).all()
 
 

@@ -108,8 +108,11 @@ def _fuzzy_simplicial_set(knn_idx: np.ndarray, knn_dists: np.ndarray,
     mt = m.T.tocsr()
     sym = m + mt - m.multiply(mt)  # probabilistic t-conorm
     sym = sym.tocoo()
-    keep = sym.row < sym.col  # one entry per undirected edge
-    return sym.row[keep], sym.col[keep], np.asarray(sym.data[keep])
+    # keep BOTH directed copies of every symmetrised edge, like umap-learn's
+    # COO graph: attraction then pulls each endpoint twice per undirected
+    # edge and — crucially — negative-sample repulsion (applied to edge
+    # heads only) reaches every point, not just the lower-index endpoint
+    return sym.row, sym.col, np.asarray(sym.data)
 
 
 def _fit_ab(min_dist: float, spread: float):
@@ -167,7 +170,11 @@ def _optimize_layout(embedding: np.ndarray, heads: np.ndarray,
         emb = emb.at[tails_j].add(-g)
 
         # negative sampling: repulse each active edge's head from random
-        # points (the paper applies repulsion to the head only)
+        # points (the paper applies repulsion to the head only; both
+        # directed copies of each edge are present, so every endpoint is
+        # a head). A sampled neg equal to the head itself is masked out
+        # (umap-learn skips j == k), so the 4.0 coincident-point kick only
+        # ever applies to distinct points sharing a location.
         negs = jax.random.randint(r_neg, (e, nsr), 0, n)
         yh = emb[heads_j][:, None, :]
         yn = emb[negs]
@@ -175,7 +182,8 @@ def _optimize_layout(embedding: np.ndarray, heads: np.ndarray,
         d2n = jnp.sum(diff_n * diff_n, axis=-1, keepdims=True)
         rep = (2.0 * b) / ((0.001 + d2n) * (a * d2n ** b + 1.0))
         gn = jnp.where(d2n > 0.0, jnp.clip(rep * diff_n, -4.0, 4.0), 4.0)
-        gn = gn * active[:, None, None] * alpha
+        not_self = (negs != heads_j[:, None])[..., None]
+        gn = gn * not_self * active[:, None, None] * alpha
         emb = emb.at[heads_j].add(jnp.sum(gn, axis=1))
         return emb, rng
 

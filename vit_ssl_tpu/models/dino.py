@@ -277,15 +277,29 @@ def dino_loss(
 
 
 def update_center(
-    center: jnp.ndarray, teacher_output: jnp.ndarray, center_momentum: float
+    center: jnp.ndarray,
+    teacher_output: jnp.ndarray,
+    center_momentum: float,
+    weight: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """EMA center update, DINO paper Eq. 4 (`model.py:91-99`). Under a
-    sharded jit the batch mean is global across devices."""
-    batch_mean = jnp.mean(
-        teacher_output.reshape(-1, teacher_output.shape[-1]).astype(jnp.float32),
-        axis=0,
-        keepdims=True,
-    )
+    sharded jit the batch mean is global across devices.
+
+    ``weight`` (optional): per-row weights for the flattened
+    ``(rows, K)`` teacher output — the loader pads short final batches
+    with copies of sample 0 at weight 0 (`data/loader.py`), and an
+    unweighted mean would let those duplicates pollute the center. With
+    weights the update is exact w.r.t. the truncated batch (the
+    reference never sees padding: torch loaders emit ragged final
+    batches)."""
+    flat = teacher_output.reshape(-1, teacher_output.shape[-1]).astype(jnp.float32)
+    if weight is None:
+        batch_mean = jnp.mean(flat, axis=0, keepdims=True)
+    else:
+        w = weight.reshape(-1, 1).astype(jnp.float32)
+        batch_mean = jnp.sum(flat * w, axis=0, keepdims=True) / jnp.maximum(
+            jnp.sum(w), 1.0
+        )
     return center_momentum * center + (1.0 - center_momentum) * batch_mean
 
 

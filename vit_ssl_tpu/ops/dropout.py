@@ -14,11 +14,13 @@ keep/scale semantics. Measured (v5e, (256,145,1536) bf16, fwd+bwd,
 chained): 0.559 vs 0.822 ms per dropout — 1.47×.
 
 Behavioral divergence vs the reference (documented per repo convention):
-the realized drop probability is quantized to 1/65536 (rate 0.1 →
-0.0999908, an absolute error of 9.2e-6), and the mask stream comes from
-``jax.random.bits`` rather than torch's RNG — the latter is true of any
-JAX port. ``fast_dropout=False`` on the model configs restores the exact
-``jax.random.bernoulli`` formulation.
+the realized drop probability is quantized to 1/65536 via round-to-nearest
+(rate 0.1 → 6554/65536 = 0.1000061, an absolute error of 6.1e-6; the
+threshold is clamped to 65535 so rates within 1/131072 of 1.0 still drop
+65535/65536 of values instead of wrapping to 0), and the mask stream comes
+from ``jax.random.bits`` rather than torch's RNG — the latter is true of
+any JAX port. ``fast_dropout=False`` on the model configs restores the
+exact ``jax.random.bernoulli`` formulation.
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ from flax import linen as nn
 
 def keep_mask16(rng, shape, rate: float) -> jnp.ndarray:
     """Boolean keep-mask via uint16 threshold (True = keep)."""
-    thresh = jnp.uint16(round(rate * 65536))
+    thresh = jnp.uint16(min(round(rate * 65536), 65535))
     return jax.random.bits(rng, shape, jnp.uint16) >= thresh
 
 

@@ -455,7 +455,11 @@ def make_dino_steps(
         k = t_g.shape[-1]
         teacher_views = t_g.reshape(ng, b, k)
         student_views = student_out.reshape(na, b, k)
-        new_center = update_center(center, t_g, center_momentum)
+        # weight-exact center EMA: pad rows (weight 0) of the final short
+        # batch are excluded from the batch mean (models/dino.py)
+        new_center = update_center(
+            center, t_g, center_momentum, jnp.tile(batch["weight"], ng)
+        )
         return teacher_views, student_views, new_center
 
     def weighted_dino_loss(t, s, center, t_temp, weight):
@@ -522,7 +526,9 @@ def make_dino_steps(
             .reshape(ng, b, k)
         )
         t_views = jax.lax.stop_gradient(t_views)
-        new_center = update_center(state.center, t_views, center_momentum)
+        new_center = update_center(
+            state.center, t_views, center_momentum, jnp.tile(w, ng)
+        )
         t_micro = t_all.reshape(grad_accum, ng, mb, k)
 
         def unnorm_loss(params, mb_batch, t_mb, sg, sl, aug):
@@ -601,7 +607,7 @@ def make_dino_steps(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_teacher = momentum_update(state.teacher_params, new_params, teacher_momentum)
-        stats = dino_distribution_stats(t, s, new_center)
+        stats = dino_distribution_stats(t, s, new_center, batch["weight"])
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -620,7 +626,7 @@ def make_dino_steps(
             state.params, state.teacher_params, state.center, batch, rngs, False
         )
         loss = weighted_dino_loss(t, s, new_center, teacher_temp, batch["weight"])
-        stats = dino_distribution_stats(t, s, new_center)
+        stats = dino_distribution_stats(t, s, new_center, batch["weight"])
         # the reference's teacher forward updates the center buffer during
         # validation too (`model.py:104-108` under `validate`) — replicated
         # by returning the advanced center for the trainer to adopt.

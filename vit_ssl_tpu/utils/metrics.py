@@ -118,34 +118,69 @@ def ssim_stats(pred_patches, target_patches, weight, patch_size: int, channels: 
     return jnp.sum(per_patch * w), jnp.sum(w)
 
 
-def dino_distribution_stats(teacher, student, center):
+def dino_distribution_stats(teacher, student, center, weight=None):
     """All 8 DINO collapse-monitoring metrics in one fused pass.
 
     teacher (Vt, B, K), student (Vs, B, K) — matches
     `/root/reference/utils/metrics.py:58-156` including unbiased std/var
     and the pairwise teacher×student cosine similarity mean.
+
+    ``weight`` (optional, (B,)): per-sample weights so padded rows of the
+    final short batch (loader pads with copies of sample 0 at weight 0)
+    are excluded — the stats then equal the truncated batch's exactly for
+    0/1 weights. ``None`` keeps the plain unweighted reduction.
     """
     t = teacher.astype(jnp.float32)
     s = student.astype(jnp.float32)
-    t_flat, s_flat = t.reshape(-1), s.reshape(-1)
 
-    def _std(x):
-        return jnp.std(x, ddof=1)
+    if weight is None:
+        t_flat, s_flat = t.reshape(-1), s.reshape(-1)
+        t_stats = {
+            "TeacherMean": t_flat.mean(),
+            "TeacherSTD": jnp.std(t_flat, ddof=1),
+            "TeacherVar": jnp.var(t_flat, ddof=1),
+        }
+        s_stats = {
+            "StudentMean": s_flat.mean(),
+            "StudentSTD": jnp.std(s_flat, ddof=1),
+            "StudentVar": jnp.var(s_flat, ddof=1),
+        }
+        cos_w = None
+    else:
+        w = weight.astype(jnp.float32)  # (B,)
+
+        def _wstats(x, prefix):
+            # x (V, B, K); each real sample contributes V·K elements
+            wb = w[None, :, None]
+            count = jnp.maximum(x.shape[0] * x.shape[2] * jnp.sum(w), 2.0)
+            mean = jnp.sum(x * wb) / count
+            var = jnp.sum(wb * (x - mean) ** 2) / (count - 1.0)  # unbiased
+            return {
+                f"{prefix}Mean": mean,
+                f"{prefix}STD": jnp.sqrt(var),
+                f"{prefix}Var": var,
+            }
+
+        t_stats = _wstats(t, "Teacher")
+        s_stats = _wstats(s, "Student")
+        cos_w = w
 
     t_norm = jnp.linalg.norm(t, axis=-1)  # (Vt, B)
     s_norm = jnp.linalg.norm(s, axis=-1)  # (Vs, B)
     dot = jnp.einsum("tbk,sbk->tsb", t, s)
     cos = dot / (t_norm[:, None] * s_norm[None] + 1e-8)
+    if cos_w is None:
+        cos_mean = cos.mean()
+    else:
+        cos_mean = jnp.sum(cos * cos_w[None, None, :]) / jnp.maximum(
+            cos.shape[0] * cos.shape[1] * jnp.sum(cos_w), 1.0
+        )
 
     return {
         "CenterNorm": jnp.linalg.norm(center),
-        "TeacherMean": t_flat.mean(),
-        "TeacherSTD": _std(t_flat),
-        "TeacherVar": jnp.var(t_flat, ddof=1),
-        "StudentMean": s_flat.mean(),
-        "StudentSTD": _std(s_flat),
-        "StudentVar": jnp.var(s_flat, ddof=1),
-        "CosineSim": cos.mean(),
+        **t_stats,
+        **s_stats,
+        "CosineSim": cos_mean,
     }
 
 

@@ -248,7 +248,8 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
 
 def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
                variant: str = "vit_s", grad_accum: int = 1,
-               remat: bool = False) -> dict:
+               remat: bool = False, dropout: float = 0.1,
+               teacher_dropout: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -287,7 +288,7 @@ def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
         patch_size=cfg["patch"],
         num_heads=cfg["num_heads"],
         mlp_dim=cfg["mlp_dim"],
-        dropout=0.1,
+        dropout=dropout,
         output_dim=cfg["output_dim"],
         dtype=jnp.bfloat16,
         use_flash=use_flash and jax.default_backend() == "tpu",
@@ -328,7 +329,7 @@ def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
     train_step, _ = make_dino_steps(
         model, tx, num_global_views=cfg["ng"], num_all_views=cfg["na"],
         student_temp=0.1, center_momentum=0.9, view_fn=view_fn,
-        grad_accum=grad_accum,
+        grad_accum=grad_accum, teacher_dropout=teacher_dropout,
     )
 
     rs = np.random.RandomState(0)
@@ -466,7 +467,12 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument(
         "--all-modes", action="store_true",
-        help="also bench supervised + simmim step throughput (stderr)",
+        help="(now the default) bench supervised + simmim too",
+    )
+    parser.add_argument(
+        "--dino-only", action="store_true",
+        help="skip the supervised/simmim legs and the dropout-0 ablation "
+        "(the pre-round-3 default; faster through the compile tunnel)",
     )
     parser.add_argument(
         "--no-xla-compare", action="store_true",
@@ -528,8 +534,13 @@ def main(argv=None):
     # measurement synchronises on a real value fetch
     threading.Thread(target=_warm_channel, daemon=True).start()
 
+    # default: the driver-visible no-arg run carries supervised + simmim
+    # MFU first-hand, not just dino (VERDICT r2 item 7). --quick stays a
+    # dino-only sanity run unless --all-modes is explicit.
+    all_modes = args.all_modes or not (args.dino_only or args.quick)
+
     modes = {}
-    if args.all_modes:
+    if all_modes:
         for mode in ("supervised", "simmim"):
             modes[mode] = _with_retries(
                 lambda m=mode: bench_mode(m, args.batch, warmup, iters),
@@ -554,6 +565,16 @@ def main(argv=None):
         if xla is not None:
             ours["vs_xla"] = xla["ms_per_step"] / ours["ms_per_step"]
             modes["dino_xla"] = xla
+    if all_modes:
+        # ablation: dropout 0 + deterministic teacher — makes the known
+        # regularisation overhead (~14 ms of the ViT-S step) visible in
+        # the recorded JSON instead of only in the builder's notes
+        abl = _with_retries(
+            lambda: bench_ours(args.batch, warmup, iters, dropout=0.0,
+                               teacher_dropout=False),
+            "ours/dino/no-dropout", required=False)
+        if abl is not None:
+            modes["dino_nodropout"] = abl
 
     if args.skip_baseline:
         baseline = float("nan")

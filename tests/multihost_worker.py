@@ -6,6 +6,14 @@ jitted weighted-CE gradient over the GLOBAL batch. Artifacts (local batch,
 gradient) are written to the output dir for the parent test to verify:
 per-host batches differ, and the distributed gradient equals a
 single-process gradient over the concatenated global batch.
+
+Second leg (VERDICT r2 items 4+5): a REAL tiny ViT supervised epoch under
+FSDP — parameters + Adam moments sharded across both hosts
+(`parallel/fsdp.py` placement via ``make_array_from_callback``), the
+actual compiled train step from train/steps.py, and epoch metrics fetched
+through ``BaseTrainer._fetch``'s ``process_allgather`` path. The parent
+compares per-step losses, epoch accuracy, and final parameters against a
+single-process replicated run on the concatenated data.
 """
 
 import os
@@ -29,11 +37,13 @@ def loss_fn(w, batch):
 class ArrayDataset:
     """20 deterministic samples, 4 classes."""
 
+    size = 8
+
     def __init__(self):
         import numpy as np
 
         rs = np.random.RandomState(7)
-        self.x = rs.rand(20, 8, 8, 3).astype(np.float32)
+        self.x = rs.rand(20, self.size, self.size, 3).astype(np.float32)
         self.y = (np.arange(20) % 4).astype(np.int64)
 
     def __len__(self):
@@ -41,6 +51,88 @@ class ArrayDataset:
 
     def __getitem__(self, i, rng=None):
         return self.x[i], int(self.y[i])
+
+
+class ViTArrayDataset(ArrayDataset):
+    """16×16 images for the real-model FSDP leg (patch 8 → 5 tokens)."""
+
+    size = 16
+
+
+def build_vit_state():
+    """Deterministic tiny ViT + AdamW state — identical on every process
+    and in the parent's single-process oracle (dropout 0)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vit_ssl_tpu.models import ViT
+    from vit_ssl_tpu.train.state import create_train_state
+
+    model = ViT(
+        num_classes=4, num_blocks=2, input_shape=(3, 16, 16), embed_dim=32,
+        patch_size=8, num_heads=2, mlp_dim=64, dropout=0.0,
+        use_flash=False, use_fused_mlp=False,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3))
+    )["params"]
+    tx = optax.adamw(1e-3, weight_decay=1e-3)
+    return model, tx, create_train_state(params, tx, jax.random.PRNGKey(1))
+
+
+def run_vit_fsdp_epoch(process_shard, mesh, fsdp: bool):
+    """One supervised epoch of the real compiled step; returns per-step
+    losses, epoch (preds, labels, weights), and the final host params."""
+    import jax
+    import numpy as np
+    from flax import traverse_util
+
+    from vit_ssl_tpu.data.loader import DataLoader
+    from vit_ssl_tpu.parallel import apply_fsdp, replicate, shard_batch
+    from vit_ssl_tpu.train.steps import make_supervised_steps
+    from vit_ssl_tpu.train.trainers.base import BaseTrainer
+
+    model, tx, state = build_vit_state()
+    state = replicate(state, mesh)
+    if fsdp:
+        state = apply_fsdp(state, mesh, min_size=1)
+        n_sharded = sum(
+            1
+            for leaf in jax.tree_util.tree_leaves(state.params)
+            if not leaf.sharding.is_fully_replicated
+        )
+        assert n_sharded > 0, "FSDP left every parameter replicated"
+    step, _ = make_supervised_steps(model, tx, donate=False)
+
+    loader = DataLoader(
+        ViTArrayDataset(), batch_size=8, shuffle=True, seed=11,
+        process_shard=process_shard,
+    )
+    loader.set_epoch(1)
+    losses, preds, labels, weights = [], [], [], []
+    for batch in loader:
+        gb = shard_batch(batch, mesh)
+        state, out = step(state, gb)
+        fetched = BaseTrainer._fetch(
+            {k: out[k] for k in ("loss", "preds", "labels", "weight")}
+        )
+        losses.append(float(fetched["loss"]))
+        preds.append(np.asarray(fetched["preds"]))
+        labels.append(np.asarray(fetched["labels"]))
+        weights.append(np.asarray(fetched["weight"]))
+    params_host = BaseTrainer._fetch(state.params)
+    flat = {
+        "/".join(k): np.asarray(v)
+        for k, v in traverse_util.flatten_dict(params_host).items()
+    }
+    return (
+        np.asarray(losses),
+        np.concatenate(preds),
+        np.concatenate(labels),
+        np.concatenate(weights),
+        flat,
+    )
 
 
 def main():
@@ -86,6 +178,16 @@ def main():
     # gradient of a replicated param over a sharded batch is replicated —
     # fetchable on every host
     np.save(outdir / f"grad_{pid}.npy", np.asarray(g))
+
+    # -- leg 2: real ViT supervised epoch under cross-host FSDP ----------
+    losses, preds, labels, weights, flat_params = run_vit_fsdp_epoch(
+        (jax.process_index(), jax.process_count()), mesh, fsdp=True
+    )
+    np.savez(
+        outdir / f"fsdp_{pid}.npz",
+        losses=losses, preds=preds, labels=labels, weights=weights,
+        **{f"param:{k}": v for k, v in flat_params.items()},
+    )
     print(f"worker {pid} ok", flush=True)
 
 

@@ -66,6 +66,39 @@ def test_two_process_data_parallel(tmp_path):
     g_ref = jax.grad(loss_fn)(w, jax.device_put(batch))
     np.testing.assert_allclose(g0, np.asarray(g_ref), rtol=1e-5, atol=1e-7)
 
+    # -- leg 2: real ViT epoch under cross-host FSDP (VERDICT r2 items
+    # 4+5) — per-step losses, epoch accuracy, and final params must match
+    # a single-process replicated run over the concatenated data
+    from tests.multihost_worker import run_vit_fsdp_epoch
+    from vit_ssl_tpu.parallel import create_mesh
+
+    f0 = np.load(tmp_path / "fsdp_0.npz")
+    f1 = np.load(tmp_path / "fsdp_1.npz")
+    # both hosts computed identical global metrics and final params
+    np.testing.assert_allclose(f0["losses"], f1["losses"], rtol=1e-6)
+    for key in f0.files:
+        if key.startswith("param:"):
+            np.testing.assert_allclose(
+                f0[key], f1[key], rtol=1e-5, atol=1e-7, err_msg=key
+            )
+
+    # single-process oracle: same seed/loader, full batches, replicated
+    losses_ref, preds_ref, labels_ref, weights_ref, params_ref = (
+        run_vit_fsdp_epoch(None, create_mesh(-1), fsdp=False)
+    )
+    np.testing.assert_allclose(f0["losses"], losses_ref, rtol=1e-4, atol=1e-6)
+
+    def acc(preds, labels, w):
+        return float(np.sum((preds == labels) * w) / np.sum(w))
+
+    assert acc(f0["preds"], f0["labels"], f0["weights"]) == pytest.approx(
+        acc(preds_ref, labels_ref, weights_ref)
+    )
+    for key, ref in params_ref.items():
+        np.testing.assert_allclose(
+            f0[f"param:{key}"], ref, rtol=1e-4, atol=5e-6, err_msg=key
+        )
+
 
 class TestProcessShardLoader:
     def _loader(self, shard, batch_size=8, n=20, **kw):

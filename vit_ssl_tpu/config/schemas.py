@@ -101,6 +101,20 @@ class TrainingSchema:
 
 
 @dataclass
+class ParallelSchema:
+    # TPU-native addition: the device mesh factors as dp × tp × pp × sp
+    # (dp implicit). All four axes are training-CLI product features.
+    data_axis: str = "data"
+    num_devices: int = -1
+    tp: int = 1  # tensor parallelism (parallel/sharding_rules.py)
+    pp: int = 1  # pipeline parallelism (parallel/pipeline.py + integrate.py)
+    pp_microbatches: int = 0  # GPipe M (0 = pipe-axis size)
+    sp: int = 1  # sequence parallelism / ring attention
+    remat: bool = False
+    fsdp: bool = False
+
+
+@dataclass
 class EvalSchema:
     interval: int = 0
     mode: Any = None
@@ -141,6 +155,17 @@ def validate_train_config(cfg: Config) -> Config:
     for name in cfg.get("metrics", []) or []:
         if name not in METRIC_NAMES:
             raise ConfigValidationError(f"Unknown metric '{name}'")
+
+    parallel = cfg.get("parallel", {}) or {}
+    for key in ("tp", "pp", "sp"):
+        if int(parallel.get(key, 1) or 1) < 1:
+            raise ConfigValidationError(f"parallel.{key} must be >= 1")
+    if bool(parallel.get("fsdp", False)) and int(parallel.get("tp", 1) or 1) > 1:
+        raise ConfigValidationError(
+            "parallel.fsdp and parallel.tp>1 cannot be combined — the "
+            "parameter shardings conflict; pick one memory-sharding "
+            "strategy"
+        )
 
     if mode == "dino":
         _require(

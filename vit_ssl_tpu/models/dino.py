@@ -136,14 +136,11 @@ class ViTBackbone(nn.Module):
     matmul_precision: str = "default"
     remat: bool = False
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        deterministic: bool = True,
-        return_attn: bool = False,
-    ):
-        x = DynamicPatchEmbed(
+    def setup(self):
+        # setup-style so the forward decomposes into embed/encode/finish
+        # (pipeline-parallel routing, parallel/integrate.py). Param names
+        # unchanged: attribute names match the previous explicit names.
+        self.patch_embedding = DynamicPatchEmbed(
             input_shape=self.input_shape,
             embed_dim=self.embed_dim,
             patch_size=self.patch_size,
@@ -151,16 +148,12 @@ class ViTBackbone(nn.Module):
             param_dtype=self.param_dtype,
             init_scheme=self.init_scheme,
             matmul_precision=self.matmul_precision,
-            name="patch_embedding",
-        )(x)
-
+        )
         block_cls = EncoderBlock
         if self.remat:
             block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
-
-        attn_probs = None
-        for i in range(self.num_blocks):
-            block = block_cls(
+        self.encoder_blocks = [
+            block_cls(
                 d_model=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_dim=self.mlp_dim,
@@ -172,14 +165,42 @@ class ViTBackbone(nn.Module):
                 fast_dropout=self.fast_dropout,
                 init_scheme=self.init_scheme,
                 matmul_precision=self.matmul_precision,
-                name=f"encoder_blocks_{i}",
             )
-            want_attn = return_attn and i == self.num_blocks - 1
-            if want_attn:
+            for _ in range(self.num_blocks)
+        ]
+
+    def embed(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        del deterministic  # patch embedding has no dropout
+        return self.patch_embedding(x)
+
+    def encode(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        return_attn: bool = False,
+    ):
+        attn_probs = None
+        for i, block in enumerate(self.encoder_blocks):
+            if return_attn and i == self.num_blocks - 1:
                 x, attn_probs = block(x, deterministic, True)
             else:
                 x = block(x, deterministic, False)
+        if return_attn:
+            return x, attn_probs
+        return x
 
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        return_attn: bool = False,
+    ):
+        x = self.embed(x, deterministic)
+        attn_probs = None
+        if return_attn:
+            x, attn_probs = self.encode(x, deterministic, True)
+        else:
+            x = self.encode(x, deterministic, False)
         cls_out = x[:, 0]
         if return_attn:
             return cls_out, attn_probs
@@ -236,6 +257,13 @@ class DINONetwork(nn.Module):
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         return self.head(self.backbone(x, deterministic))
+
+    # -- pipeline-parallel decomposition (parallel/integrate.py) ----------
+    def embed(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        return self.backbone.embed(x, deterministic)
+
+    def finish(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.head(tokens[:, 0])
 
     def features(self, x: jnp.ndarray, return_attn: bool = False):
         """Backbone CLS features (teacher-side inference path,

@@ -125,6 +125,28 @@ class SimMIMViT(nn.Module):
             tokens = block(tokens, deterministic, False)
         return tokens
 
+    # -- pipeline-parallel decomposition (parallel/integrate.py) ----------
+    def embed_masked(self, x: jnp.ndarray, mask=None):
+        """Patchify + mask + project + pos-embed (everything before the
+        encoder stack). Returns (tokens, target_patches, bool_mask)."""
+        b = x.shape[0]
+        patches = extract_patches(x, self.patch_size)
+        if mask is not None:
+            bool_mask = mask.astype(bool)
+        else:
+            rng = self.make_rng("mask")
+            bool_mask = make_random_mask(rng, b, patches.shape[1], self.mask_ratio)
+        tokens = self.projection(patches.astype(self.dtype))
+        tokens = jnp.where(
+            bool_mask[..., None], self.mask_token.astype(self.dtype), tokens
+        )
+        tokens = tokens + self.positional_embedding.astype(self.dtype)
+        return tokens, patches, bool_mask
+
+    def predict(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Reconstruction head (everything after the encoder stack)."""
+        return self.simmim_head(tokens.astype(jnp.float32))
+
     def __call__(
         self, x: jnp.ndarray, deterministic: bool = True, mask=None
     ):
@@ -135,21 +157,9 @@ class SimMIMViT(nn.Module):
         ``mask`` injects an externally drawn (B, N) bool mask (oracle
         parity studies, visualizers); None draws from the 'mask' rng.
         """
-        b = x.shape[0]
-        patches = extract_patches(x, self.patch_size)  # (B, N, C·p²) targets
-        if mask is not None:
-            bool_mask = mask.astype(bool)
-        else:
-            rng = self.make_rng("mask")
-            bool_mask = make_random_mask(rng, b, patches.shape[1], self.mask_ratio)
-
-        tokens = self.projection(patches.astype(self.dtype))
-        tokens = jnp.where(
-            bool_mask[..., None], self.mask_token.astype(self.dtype), tokens
-        )
-        tokens = tokens + self.positional_embedding.astype(self.dtype)
+        tokens, patches, bool_mask = self.embed_masked(x, mask)
         tokens = self._encode(tokens, deterministic)
-        predictions = self.simmim_head(tokens.astype(jnp.float32))
+        predictions = self.predict(tokens)
         return predictions, patches, bool_mask
 
     def inference_forward(

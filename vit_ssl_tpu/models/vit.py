@@ -48,14 +48,13 @@ class ViT(nn.Module):
     matmul_precision: str = "default"
     remat: bool = False
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        deterministic: bool = True,
-        return_attn: bool = False,
-    ):
-        x = ConvPatchEmbed(
+    def setup(self):
+        # setup-style (rather than @nn.compact) so the forward decomposes
+        # into ``embed`` → ``encode`` → ``finish`` methods: pipeline
+        # parallelism (parallel/integrate.py) replaces ``encode`` with a
+        # GPipe schedule over the pipe mesh axis. Param-tree names are
+        # unchanged (attribute names == previous explicit names).
+        self.patch_embedding = ConvPatchEmbed(
             input_shape=self.input_shape,
             embed_dim=self.embed_dim,
             patch_size=self.patch_size,
@@ -63,23 +62,12 @@ class ViT(nn.Module):
             param_dtype=self.param_dtype,
             init_scheme=self.init_scheme,
             matmul_precision=self.matmul_precision,
-            name="patch_embedding",
-        )(x)
-
-        if (
-            not deterministic
-            and self.patch_dropout > 0.0
-            and not return_attn  # visualizers need the full token grid
-        ):
-            x = self._drop_patches(x)
-
+        )
         block_cls = EncoderBlock
         if self.remat:
             block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
-
-        attn_probs = None
-        for i in range(self.num_blocks):
-            block = block_cls(
+        self.encoder_blocks = [
+            block_cls(
                 d_model=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_dim=self.mlp_dim,
@@ -91,25 +79,63 @@ class ViT(nn.Module):
                 fast_dropout=self.fast_dropout,
                 init_scheme=self.init_scheme,
                 matmul_precision=self.matmul_precision,
-                name=f"encoder_blocks_{i}",
             )
-            want_attn = return_attn and i == self.num_blocks - 1
-            if want_attn:
-                x, attn_probs = block(x, deterministic, True)
-            else:
-                x = block(x, deterministic, False)
-
-        cls_token = x[:, 0]
-        logits = MLPHead(
+            for _ in range(self.num_blocks)
+        ]
+        self.classification_head = MLPHead(
             d_model=self.embed_dim,
             num_classes=self.num_classes,
             dtype=jnp.float32,
             param_dtype=self.param_dtype,
             init_scheme=self.init_scheme,
             matmul_precision=self.matmul_precision,
-            name="classification_head",
-        )(cls_token.astype(jnp.float32))
+        )
 
+    def embed(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        allow_patch_dropout: bool = True,
+    ) -> jnp.ndarray:
+        x = self.patch_embedding(x)
+        if not deterministic and self.patch_dropout > 0.0 and allow_patch_dropout:
+            x = self._drop_patches(x)
+        return x
+
+    def encode(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        return_attn: bool = False,
+    ):
+        attn_probs = None
+        for i, block in enumerate(self.encoder_blocks):
+            if return_attn and i == self.num_blocks - 1:
+                x, attn_probs = block(x, deterministic, True)
+            else:
+                x = block(x, deterministic, False)
+        if return_attn:
+            return x, attn_probs
+        return x
+
+    def finish(self, x: jnp.ndarray) -> jnp.ndarray:
+        cls_token = x[:, 0]
+        return self.classification_head(cls_token.astype(jnp.float32))
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        return_attn: bool = False,
+    ):
+        # visualizers need the full token grid → no patch dropout
+        x = self.embed(x, deterministic, allow_patch_dropout=not return_attn)
+        attn_probs = None
+        if return_attn:
+            x, attn_probs = self.encode(x, deterministic, True)
+        else:
+            x = self.encode(x, deterministic, False)
+        logits = self.finish(x)
         if return_attn:
             return logits, attn_probs
         return logits

@@ -17,11 +17,14 @@ tuple is returned.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+logger = logging.getLogger(__name__)
 
 from .flash_attention import (
     attention_nhd,
@@ -117,6 +120,13 @@ class MultiHeadAttention(nn.Module):
         d_head = self.d_model // self.num_heads
         scale = 1.0 / float(d_head) ** 0.5
 
+        if not return_attn:
+            sp_out = self._maybe_ring_attention(
+                query, key, value, b, n_q, n_k, d_head, scale
+            )
+            if sp_out is not None:
+                return self.final_linear(sp_out)
+
         if (
             self.use_flash
             and not return_attn
@@ -170,3 +180,51 @@ class MultiHeadAttention(nn.Module):
         if return_attn:
             return out, probs
         return out
+
+    def _maybe_ring_attention(
+        self, query, key, value, b, n_q, n_k, d_head, scale
+    ) -> Optional[jnp.ndarray]:
+        """Sequence-parallel dispatch (``parallel.sp``): when the active
+        mesh (``parallel.context``, published by the trainer before step
+        compilation) carries a ``'seq'`` axis that divides the sequence
+        length, attention runs as ring attention — Q resident per shard,
+        K/V rotating over ICI (:mod:`..parallel.ring_attention`). Batch
+        and heads additionally shard over the ``'data'`` / ``'model'``
+        axes when divisible, so sp composes with dp/tp. Returns ``None``
+        (→ single-device paths) when sp is off or the shape doesn't
+        divide; the degradation is logged once per shape, never silent.
+        """
+        from ..parallel import context as parallel_context
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
+        from ..parallel.ring_attention import ring_attention_sharded
+
+        sp = parallel_context.sp_size()
+        if sp <= 1 or n_q != n_k:
+            return None
+        if n_q % sp != 0:
+            key_shape = (n_q, sp)
+            if key_shape not in _SP_FALLBACK_WARNED:
+                _SP_FALLBACK_WARNED.add(key_shape)
+                logger.warning(
+                    "parallel.sp=%d does not divide sequence length %d — "
+                    "this attention call falls back to the single-device "
+                    "path (replicated over the seq axis)", sp, n_q,
+                )
+            return None
+        mesh = parallel_context.current_mesh()
+        q = self.w_query(query).reshape(b, n_q, self.num_heads, d_head)
+        k = self.w_key(key).reshape(b, n_k, self.num_heads, d_head)
+        v = self.w_value(value).reshape(b, n_k, self.num_heads, d_head)
+        q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))  # (B,H,N,D)
+        dp = int(mesh.shape.get(DATA_AXIS, 1))
+        tp = int(mesh.shape.get(MODEL_AXIS, 1))
+        batch_axis = DATA_AXIS if (dp > 1 and b % dp == 0) else None
+        head_axis = MODEL_AXIS if (tp > 1 and self.num_heads % tp == 0) else None
+        context = ring_attention_sharded(
+            q, k, v, scale, mesh,
+            axis_name=SEQ_AXIS, batch_axis=batch_axis, head_axis=head_axis,
+        )
+        return context.transpose(0, 2, 1, 3).reshape(b, n_q, self.d_model)
+
+
+_SP_FALLBACK_WARNED = set()

@@ -350,8 +350,23 @@ def attention_nhd_profitable(seq_len: int, batch: int, num_heads: int,
 
 
 def _nhd_fwd_kernel(q_ref, k_ref, v_ref, o_ref, p_ref=None,
-                    *, group: int, heads: int, d: int, scale: float):
-    """Refs are (GROUP, N, H·D); heads are static lane slices."""
+                    *, group: int, heads: int, d: int, scale: float,
+                    block_size: int = 0):
+    """Refs are (GROUP, N, H·D); heads are static lane slices.
+
+    ``block_size`` > 0 applies a block-diagonal mask — row i attends col j
+    only when ``i//bs == j//bs`` — which makes one packed length-N
+    sequence mathematically identical to N/bs independent length-bs
+    sequences (DINO multi-crop locals packing; see MultiHeadAttention).
+    The mask costs one iota compare per cell; the backward needs NO mask
+    because the saved probabilities are exactly zero off-block, which
+    zeroes every off-block gradient contribution algebraically."""
+    n = q_ref.shape[1]
+    mask = None
+    if block_size:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // block_size
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // block_size
+        mask = row == col
     for j in range(group):
         for h in range(heads):
             sl = slice(h * d, (h + 1) * d)
@@ -360,6 +375,8 @@ def _nhd_fwd_kernel(q_ref, k_ref, v_ref, o_ref, p_ref=None,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
+            if mask is not None:
+                s = jnp.where(mask, s, -jnp.inf)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             pn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)

@@ -20,6 +20,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"  # tensor parallelism (sharding_rules.py)
+PIPE_AXIS = "pipe"    # pipeline parallelism (pipeline.py)
+SEQ_AXIS = "seq"      # sequence parallelism / ring attention
 
 
 def create_mesh(num_devices: int = -1, axis_name: str = DATA_AXIS) -> Mesh:
@@ -33,8 +36,64 @@ def create_mesh(num_devices: int = -1, axis_name: str = DATA_AXIS) -> Mesh:
 
 
 def mesh_from_config(config) -> Mesh:
+    """Build the device mesh from ``parallel.{num_devices,tp,pp,sp}``.
+
+    All four parallelism axes are product features reachable from the
+    training CLI (``python train.py parallel.tp=2`` etc.):
+
+    - dp (``data``): implicit — whatever devices remain after the explicit
+      axes; batches shard over it (always present).
+    - tp (``model``): Megatron-style tensor parallelism; parameters are
+      sharded by :mod:`.sharding_rules` and XLA inserts the
+      all-reduce/all-gathers.
+    - pp (``pipe``): GPipe pipeline over the encoder stack
+      (:mod:`.pipeline`), routed by ``parallel.integrate``.
+    - sp (``seq``): ring attention over the token axis
+      (:mod:`.ring_attention`), dispatched inside ``MultiHeadAttention``.
+
+    Size-1 axes are omitted from the mesh, so the default config yields
+    the round-1 1-D ``('data',)`` mesh unchanged.
+    """
     parallel = config.get("parallel", {}) or {}
-    return create_mesh(int(parallel.get("num_devices", -1)))
+    tp = max(1, int(parallel.get("tp", 1) or 1))
+    pp = max(1, int(parallel.get("pp", 1) or 1))
+    sp = max(1, int(parallel.get("sp", 1) or 1))
+    n = int(parallel.get("num_devices", -1))
+    devices = jax.devices()
+    if n is None or n < 0:
+        n = len(devices)
+    n = min(n, len(devices))
+    denom = tp * pp * sp
+    if denom == 1:
+        return create_mesh(n)
+    if n % denom != 0:
+        raise ValueError(
+            f"parallel config needs tp·pp·sp = {denom} to divide the "
+            f"{n} visible devices (tp={tp}, pp={pp}, sp={sp}); adjust "
+            "parallel.num_devices or the axis sizes"
+        )
+    dp = n // denom
+    sizes = {DATA_AXIS: dp, MODEL_AXIS: tp, PIPE_AXIS: pp, SEQ_AXIS: sp}
+    axes = [DATA_AXIS] + [
+        a for a in (MODEL_AXIS, PIPE_AXIS, SEQ_AXIS) if sizes[a] > 1
+    ]
+    shape = tuple(sizes[a] for a in axes)
+    return Mesh(np.asarray(devices[:n]).reshape(shape), tuple(axes))
+
+
+def put_global(x: Any, sharding: NamedSharding):
+    """``device_put`` that also works under multi-process JAX for
+    non-fully-addressable shardings (replicated or sharded), provided
+    every process holds the identical full host value — true for seeded
+    init and loaded checkpoints. ``jax.device_put`` to a sharding that
+    spans other processes' devices raises; ``make_array_from_callback``
+    hands each process exactly its addressable shards instead."""
+    if jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(x, sharding)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -110,10 +110,20 @@ def ring_attention_sharded(
     mesh: Mesh,
     axis_name: str = SEQ_AXIS,
     check_rep: bool = False,
+    batch_axis: str = None,
+    head_axis: str = None,
 ) -> jnp.ndarray:
     """Global-array entry point: shards (B, H, N, D) along N over
-    ``axis_name`` and runs :func:`ring_attention` under shard_map."""
-    spec = P(None, None, axis_name, None)
+    ``axis_name`` and runs :func:`ring_attention` under shard_map.
+
+    ``batch_axis`` / ``head_axis`` (optional) additionally shard the batch
+    and head dimensions over those mesh axes — used when the mesh also
+    carries data ('data') and tensor ('model') parallelism, so the ring
+    composes with dp/tp instead of forcing an all-gather of the batch at
+    the shard_map boundary. The ring collectives only ever run over
+    ``axis_name``; batch and heads are embarrassingly parallel here.
+    """
+    spec = P(batch_axis, head_axis, axis_name, None)
     fn = jax.shard_map(
         functools.partial(ring_attention, scale=scale, axis_name=axis_name),
         mesh=mesh,

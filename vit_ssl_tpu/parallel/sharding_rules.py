@@ -32,6 +32,8 @@ import jax
 from flax import traverse_util
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .mesh import put_global
+
 logger = logging.getLogger(__name__)
 
 MODEL_AXIS = "model"
@@ -107,6 +109,38 @@ def tp_spec_for(path: Tuple[str, ...], value) -> P:
     return P()
 
 
+def _fitted_spec(str_path: Tuple[str, ...], value, mesh: Mesh, warn: bool) -> P:
+    """TP spec for one leaf with non-dividing axes dropped (loudly)."""
+    joined = "/".join(str_path)
+    spec = tp_spec_for(str_path, value)
+    fixed = []
+    for dim, axis in zip(value.shape, spec + (None,) * (value.ndim - len(spec))):
+        if axis is not None and dim % mesh.shape[axis] != 0:
+            logger.warning(
+                "TP rule for '%s' wants axis %r on a dim of %d, which "
+                "does not divide mesh axis size %d — falling back to "
+                "replicated for that dim",
+                joined, axis, dim, mesh.shape[axis],
+            )
+            axis = None
+        fixed.append(axis)
+    if (
+        warn
+        and mesh.shape.get(MODEL_AXIS, 1) > 1
+        and all(a is None for a in fixed)
+        and value.ndim >= 2
+        and str_path[-1] in ("kernel", "v", "w1", "w2")
+        and not any(marker in joined for marker in _KNOWN_REPLICATED)
+    ):
+        logger.warning(
+            "No TP rule matched matmul parameter '%s' %s — it will be "
+            "fully replicated. If this module was renamed, update "
+            "parallel/sharding_rules.py::tp_spec_for.",
+            joined, tuple(value.shape),
+        )
+    return P(*fixed)
+
+
 def shard_params(params: Any, mesh: Mesh) -> Any:
     """Place a param pytree on the mesh under the TP rules.
 
@@ -114,40 +148,38 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     logged when a rule's axis is dropped because it doesn't divide the
     mesh, and when a ≥2-D kernel that no rule matched falls back to
     replicated (likely a renamed module the string rules miss).
+
+    Multi-process safe via :func:`..mesh.put_global`.
     """
     flat = traverse_util.flatten_dict(params)
     out = {}
     for path, value in flat.items():
         str_path = tuple(str(p) for p in path)
-        joined = "/".join(str_path)
-        spec = tp_spec_for(str_path, value)
-        # drop axes that don't divide the dimension cleanly — loudly
-        fixed = []
-        for dim, axis in zip(value.shape, spec + (None,) * (value.ndim - len(spec))):
-            if axis is not None and dim % mesh.shape[axis] != 0:
-                logger.warning(
-                    "TP rule for '%s' wants axis %r on a dim of %d, which "
-                    "does not divide mesh axis size %d — falling back to "
-                    "replicated for that dim",
-                    joined, axis, dim, mesh.shape[axis],
-                )
-                axis = None
-            fixed.append(axis)
-        if (
-            mesh.shape.get(MODEL_AXIS, 1) > 1
-            and all(a is None for a in fixed)
-            and value.ndim >= 2
-            and str_path[-1] in ("kernel", "v", "w1", "w2")
-            and not any(marker in joined for marker in _KNOWN_REPLICATED)
-        ):
-            logger.warning(
-                "No TP rule matched matmul parameter '%s' %s — it will be "
-                "fully replicated. If this module was renamed, update "
-                "parallel/sharding_rules.py::tp_spec_for.",
-                joined, tuple(value.shape),
-            )
-        out[path] = jax.device_put(value, NamedSharding(mesh, P(*fixed)))
+        spec = _fitted_spec(str_path, value, mesh, warn=True)
+        out[path] = put_global(value, NamedSharding(mesh, spec))
     return traverse_util.unflatten_dict(out)
+
+
+def shard_tree_tp(tree: Any, mesh: Mesh) -> Any:
+    """TP-shard an arbitrary pytree whose *dict-key* paths mirror the
+    param tree — optimizer state (Adam mu/nu are param-tree mirrors
+    nested inside optax's named tuples), teacher params, EMA trees. The
+    optimizer moments then live with their parameter shard, exactly the
+    ZeRO observation applied to TP. Leaves with no dict path (step
+    counters, schedule state) and leaves no rule matches are replicated.
+    """
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    def place(path, x):
+        keys = tuple(
+            str(p.key) for p in path if isinstance(p, DictKey)
+        )
+        if not keys or not hasattr(x, "shape") or x.ndim == 0:
+            return put_global(x, NamedSharding(mesh, P()))
+        spec = _fitted_spec(keys, x, mesh, warn=False)
+        return put_global(x, NamedSharding(mesh, spec))
+
+    return tree_map_with_path(place, tree)
 
 
 def create_dp_tp_mesh(num_devices: int = -1, tp: int = 2) -> Mesh:

@@ -23,8 +23,10 @@ import jax
 import numpy as np
 
 from ...config import to_container
-from ...parallel import replicate, shard_batch
+from ...parallel import replicate, set_parallel_context, shard_batch
 from ...parallel.fsdp import apply_fsdp, fsdp_enabled
+from ...parallel.mesh import MODEL_AXIS
+from ...parallel.sharding_rules import shard_params, shard_tree_tp
 from ...train.schedules import lr_schedule_from_config
 from ...train.state import create_train_state, make_optimizer
 from ...utils.checkpoint import checkpoint_exists, load_checkpoint, save_checkpoint
@@ -37,8 +39,12 @@ logger = logging.getLogger(__name__)
 
 class BaseTrainer(ABC):
     def __init__(self, bundle, save_path: str, config, train_loader, val_loader, mesh=None):
+        from ...parallel.integrate import maybe_pipelined
+
         self.bundle = bundle
-        self.model = bundle.module
+        # parallel.pp > 1 reroutes the encoder stack through the GPipe
+        # schedule; otherwise this is bundle.module unchanged
+        self.model = maybe_pipelined(bundle.module, mesh, config)
         self.config = config
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -68,6 +74,10 @@ class BaseTrainer(ABC):
         self._snapshot_epoch = -1
         self._save_thread = None
 
+        # publish the mesh for trace-time parallel dispatch (sp routing in
+        # MultiHeadAttention, pp routing in parallel.integrate) BEFORE the
+        # jitted steps are built — compiled executables bake the routing in
+        set_parallel_context(mesh)
         self.state = self._init_state()
         self._build_steps()
 
@@ -105,7 +115,29 @@ class BaseTrainer(ABC):
 
     def _place_state(self, state):
         """Replicated by default; FSDP/ZeRO sharding of params + Adam
-        moments over the data axis with ``parallel.fsdp: true``."""
+        moments over the data axis with ``parallel.fsdp: true``; with
+        ``parallel.tp > 1`` parameters (and their Adam moments, teacher
+        EMA included) shard Megatron-style over the ``model`` axis and
+        XLA's GSPMD partitioner inserts the per-layer collectives."""
+        mesh = self.mesh
+        tp = int(mesh.shape.get(MODEL_AXIS, 1)) if mesh is not None else 1
+        if tp > 1:
+            if fsdp_enabled(self.config):
+                raise ValueError(
+                    "parallel.fsdp and parallel.tp>1 cannot be combined "
+                    "(the param shardings conflict); pick one of the two "
+                    "memory-sharding strategies"
+                )
+            state = replicate(state, mesh)
+            state = state.replace(
+                params=shard_params(state.params, mesh),
+                opt_state=shard_tree_tp(state.opt_state, mesh),
+            )
+            if state.teacher_params is not None:
+                state = state.replace(
+                    teacher_params=shard_params(state.teacher_params, mesh)
+                )
+            return state
         if fsdp_enabled(self.config):
             return apply_fsdp(replicate(state, self.mesh), self.mesh)
         return replicate(state, self.mesh)

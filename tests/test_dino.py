@@ -163,3 +163,118 @@ def test_network_features_path():
     assert feats.shape == (2, 48)
     out = net.apply(params, feats, method=net.head_only)
     assert out.shape == (2, 64)
+
+
+class TestPackedLocals:
+    """Block-diagonal sequence packing of local crops
+    (DINONetwork.forward_packed + model.dino_pack_locals)."""
+
+    def _model(self, use_flash=False):
+        from vit_ssl_tpu.models import DINONetwork
+
+        return DINONetwork(
+            num_blocks=2, input_shape=(3, 16, 16), embed_dim=32,
+            patch_size=8, num_heads=2, mlp_dim=64, dropout=0.0,
+            output_dim=16, use_flash=use_flash, use_fused_mlp=False,
+        )
+
+    def test_forward_packed_matches_unpacked(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        model = self._model()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        rs = np.random.RandomState(0)
+        num_views, b = 4, 3
+        x = jnp.asarray(rs.rand(num_views * b, 8, 8, 3).astype(np.float32))
+        unpacked = model.apply(variables, x, True)
+        packed = model.apply(
+            variables, x, num_views, True, method="forward_packed"
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed), np.asarray(unpacked), atol=2e-5, rtol=1e-5
+        )
+
+    def test_packed_gradients_match_unpacked(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        model = self._model()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        rs = np.random.RandomState(1)
+        x = jnp.asarray(rs.rand(8, 8, 8, 3).astype(np.float32))
+
+        def loss_unpacked(params):
+            return jnp.sum(model.apply({"params": params}, x, True) ** 2)
+
+        def loss_packed(params):
+            return jnp.sum(
+                model.apply(
+                    {"params": params}, x, 4, True, method="forward_packed"
+                ) ** 2
+            )
+
+        g_u = jax.grad(loss_unpacked)(variables["params"])
+        g_p = jax.grad(loss_packed)(variables["params"])
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(g_u), jax.tree_util.tree_leaves(g_p)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3
+            )
+
+    def test_dino_step_pack_locals_matches(self):
+        """make_dino_steps(pack_locals=True) == unpacked step at dropout 0."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from vit_ssl_tpu.train.state import create_train_state
+        from vit_ssl_tpu.train.steps import make_dino_steps
+
+        model = self._model()
+        rs = np.random.RandomState(2)
+        b = 4
+        views = [
+            jnp.asarray(rs.rand(b, 16, 16, 3).astype(np.float32))
+            for _ in range(2)
+        ] + [
+            jnp.asarray(rs.rand(b, 8, 8, 3).astype(np.float32))
+            for _ in range(4)
+        ]
+        batch = {"views": views, "weight": jnp.ones((b,), jnp.float32)}
+
+        def fresh(tx):
+            student = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3))
+            )["params"]
+            teacher = jax.tree_util.tree_map(
+                lambda v: jnp.array(v, copy=True), student
+            )
+            return create_train_state(
+                student, tx, jax.random.PRNGKey(1),
+                teacher_params=teacher, center=jnp.zeros((1, 16), jnp.float32),
+            )
+
+        tx = optax.adamw(1e-3)
+        kw = dict(num_global_views=2, num_all_views=6, student_temp=0.1,
+                  center_momentum=0.9, donate=False, teacher_dropout=False)
+        step_u, _ = make_dino_steps(model, tx, **kw)
+        step_p, _ = make_dino_steps(model, tx, pack_locals=True, **kw)
+        s_u, s_p = fresh(tx), fresh(tx)
+        tt, tm = jnp.float32(0.04), jnp.float32(0.996)
+        s_u, out_u = step_u(s_u, batch, tt, tm)
+        s_p, out_p = step_p(s_p, batch, tt, tm)
+        np.testing.assert_allclose(
+            float(out_u["loss"]), float(out_p["loss"]), rtol=1e-5
+        )
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(s_u.params),
+            jax.tree_util.tree_leaves(s_p.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4
+            )

@@ -230,3 +230,66 @@ def test_mha_nhd_path_matches_xla_path(monkeypatch):
         np.asarray(flash.apply(params, x)), np.asarray(xla.apply(params, x)),
         atol=2e-5, rtol=1e-4,
     )
+
+
+class TestBlockDiagonal:
+    """block_size > 0: packed block-diagonal attention (DINO locals
+    packing). Oracle = per-block independent attention."""
+
+    @staticmethod
+    def _blockwise_ref(xq, xk, xv, h, scale, bs):
+        b, n, hd = xq.shape
+        nb = n // bs
+
+        def split(x):
+            return x.reshape(b * nb, bs, hd)
+
+        out = _nhd_ref(split(xq), split(xk), split(xv), h, scale)
+        return out.reshape(b, n, hd)
+
+    def test_forward_matches_per_block(self):
+        h, bs = 2, 37
+        xq, xk, xv = _xqkv(jax.random.PRNGKey(20), 2, 4 * bs, 64)
+        scale = 1.0 / np.sqrt(64 // h)
+        out = attention_nhd(xq, xk, xv, h, scale, True, bs)
+        ref = self._blockwise_ref(xq, xk, xv, h, scale, bs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_gradients_match_per_block(self):
+        h, bs = 2, 19
+        xq, xk, xv = _xqkv(jax.random.PRNGKey(21), 2, 3 * bs, 32)
+        scale = 1.0 / np.sqrt(32 // h)
+
+        def loss_k(a, b_, c):
+            return jnp.sum(attention_nhd(a, b_, c, h, scale, True, bs) ** 2)
+
+        def loss_r(a, b_, c):
+            return jnp.sum(self._blockwise_ref(a, b_, c, h, scale, bs) ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(xq, xk, xv)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(xq, xk, xv)
+        for a, b_ in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_sdpa_block_mask_matches_per_block(self):
+        from vit_ssl_tpu.ops.attention import scaled_dot_product_attention
+
+        h, bs = 2, 5
+        b, n, d = 3, 4 * bs, 16
+        key = jax.random.PRNGKey(22)
+        k1, k2, k3 = jax.random.split(key, 3)
+        q = jax.random.normal(k1, (b, h, n, d))
+        k = jax.random.normal(k2, (b, h, n, d))
+        v = jax.random.normal(k3, (b, h, n, d))
+        out, _ = scaled_dot_product_attention(q, k, v, block_size=bs)
+        # per-block oracle
+        nb = n // bs
+        qb = q.reshape(b, h, nb, bs, d)
+        kb = k.reshape(b, h, nb, bs, d)
+        vb = v.reshape(b, h, nb, bs, d)
+        ref, _ = scaled_dot_product_attention(qb, kb, vb)
+        ref = ref.reshape(b, h, n, d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)

@@ -110,3 +110,44 @@ class TestIntegration:
         emb = ea._project(x, 2, {"n_epochs": 100})
         assert emb.shape == (120, 2)
         assert silhouette_score(emb, y) > 0.4
+
+
+class TestFidelity:
+    """Quantitative manifold-fidelity validation (VERDICT r2 item 8):
+    trustworthiness/continuity on known manifolds with thresholds, plus
+    fixed-seed layout reproducibility. umap-learn is absent from this
+    image, so standard metrics stand in for a golden comparison."""
+
+    def test_swiss_roll_trustworthiness_and_continuity(self):
+        from sklearn.datasets import make_swiss_roll
+        from sklearn.manifold import trustworthiness
+
+        x, _ = make_swiss_roll(n_samples=400, noise=0.05, random_state=0)
+        emb = NativeUMAP(
+            n_components=2, n_neighbors=15, n_epochs=300, random_state=0
+        ).fit_transform(x)
+        # trustworthiness: embedding neighbours are true neighbours;
+        # continuity: true neighbours stay neighbours (role-swapped
+        # trustworthiness). umap-learn scores ~0.95+ here; 0.85/0.85 are
+        # conservative floors that still catch a broken layout.
+        t = trustworthiness(x, emb, n_neighbors=12)
+        c = trustworthiness(emb, x, n_neighbors=12)
+        assert t > 0.85, f"trustworthiness {t:.3f}"
+        assert c > 0.85, f"continuity {c:.3f}"
+
+    def test_gaussian_mixture_trustworthiness(self):
+        from sklearn.manifold import trustworthiness
+
+        x, _ = _clusters(n_per=100, d=32, k=4)
+        emb = NativeUMAP(
+            n_components=2, n_neighbors=15, n_epochs=250, random_state=1
+        ).fit_transform(x)
+        t = trustworthiness(x, emb, n_neighbors=12)
+        assert t > 0.9, f"trustworthiness {t:.3f}"
+
+    def test_fixed_seed_layout_reproducible(self):
+        x, _ = _clusters(n_per=40, d=16, k=3)
+        kw = dict(n_components=2, n_epochs=100, random_state=7)
+        emb1 = NativeUMAP(**kw).fit_transform(x)
+        emb2 = NativeUMAP(**kw).fit_transform(x)
+        np.testing.assert_array_equal(emb1, emb2)

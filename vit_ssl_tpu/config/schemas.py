@@ -60,6 +60,7 @@ class ModelSchema:
     use_fused_mlp: bool = False
     fast_dropout: bool = True  # uint16-threshold dropout (ops/dropout.py)
     patch_dropout: float = 0.0  # supervised/finetune: PatchDropout keep-subset
+    dino_pack_locals: bool = False  # pack local crops block-diagonally
 
 
 @dataclass

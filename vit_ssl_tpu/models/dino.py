@@ -151,7 +151,7 @@ class ViTBackbone(nn.Module):
         )
         block_cls = EncoderBlock
         if self.remat:
-            block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
+            block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3, 4))
         self.encoder_blocks = [
             block_cls(
                 d_model=self.embed_dim,
@@ -178,13 +178,14 @@ class ViTBackbone(nn.Module):
         x: jnp.ndarray,
         deterministic: bool = True,
         return_attn: bool = False,
+        block_size: int = 0,
     ):
         attn_probs = None
         for i, block in enumerate(self.encoder_blocks):
             if return_attn and i == self.num_blocks - 1:
-                x, attn_probs = block(x, deterministic, True)
+                x, attn_probs = block(x, deterministic, True, 0)
             else:
-                x = block(x, deterministic, False)
+                x = block(x, deterministic, False, block_size)
         if return_attn:
             return x, attn_probs
         return x
@@ -264,6 +265,38 @@ class DINONetwork(nn.Module):
 
     def finish(self, tokens: jnp.ndarray) -> jnp.ndarray:
         return self.head(tokens[:, 0])
+
+    def forward_packed(
+        self, x: jnp.ndarray, num_views: int, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Multi-crop views packed into block-diagonal sequences.
+
+        ``x`` is the usual view-major concat of ``num_views`` crops,
+        ``(V·B, h, w, C)``. Instead of running V·B independent length-N
+        sequences (at DINO-locals N=37 the fused kernel loses to XLA —
+        the measured gate falls back), the V crops of each image pack
+        into ONE length-``V·N`` sequence after patch embedding, moving
+        attention into the kernel's profitable regime; a block-diagonal
+        mask inside the kernel keeps crops independent, so the result is
+        bit-identical to the unpacked forward (LN/FFN/dropout are
+        per-token; tests/test_dino.py). Output order matches the
+        unpacked path: ``(V·B, K)`` view-major.
+        """
+        tokens = self.backbone.embed(x, deterministic)  # (V·B, N, D)
+        vb, n, d = tokens.shape
+        b = vb // num_views
+        packed = (
+            tokens.reshape(num_views, b, n, d)
+            .transpose(1, 0, 2, 3)
+            .reshape(b, num_views * n, d)
+        )
+        enc = self.backbone.encode(packed, deterministic, False, block_size=n)
+        cls = (
+            enc.reshape(b, num_views, n, d)[:, :, 0]  # (B, V, D)
+            .transpose(1, 0, 2)
+            .reshape(vb, d)
+        )
+        return self.head(cls)
 
     def features(self, x: jnp.ndarray, return_attn: bool = False):
         """Backbone CLS features (teacher-side inference path,

@@ -40,7 +40,8 @@ from .precision import resolve_precision
 
 
 def scaled_dot_product_attention(
-    query, key, value, return_attn: bool = False, precision="highest"
+    query, key, value, return_attn: bool = False, precision="highest",
+    block_size: int = 0,
 ):
     """Reference-math attention: softmax(QKᵀ/√d_k)V.
 
@@ -49,6 +50,9 @@ def scaled_dot_product_attention(
     ``precision="highest"`` because this function doubles as the oracle
     path for kernel-equivalence tests; the model stack threads its own
     ``matmul_precision`` policy through (see :mod:`.precision`).
+
+    ``block_size`` > 0: block-diagonal mask (i attends j iff i//bs ==
+    j//bs) — one packed sequence behaves as N/bs independent sequences.
     """
     prec = resolve_precision(precision)
     d_k = query.shape[-1]
@@ -60,6 +64,11 @@ def scaled_dot_product_attention(
         precision=prec,
     )
     scores = scores / jnp.sqrt(jnp.asarray(d_k, dtype=scores.dtype))
+    if block_size:
+        n_q, n_k = scores.shape[-2], scores.shape[-1]
+        row = jnp.arange(n_q)[:, None] // block_size
+        col = jnp.arange(n_k)[None, :] // block_size
+        scores = jnp.where(row == col, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     context = jnp.einsum(
         "...nm,...md->...nd",
@@ -111,7 +120,15 @@ class MultiHeadAttention(nn.Module):
         key: Optional[jnp.ndarray] = None,
         value: Optional[jnp.ndarray] = None,
         return_attn: bool = False,
+        block_size: int = 0,
     ):
+        """``block_size`` > 0: block-diagonal attention over a packed
+        sequence (each ``block_size`` token span attends only within
+        itself) — used to run DINO's small local crops as packed longer
+        sequences inside the fused kernel's profitable regime. Supported
+        by the NHD kernel and the XLA path; ring attention and the
+        long-sequence kernels don't compose with packing (callers pack
+        only ViT-scale sequences)."""
         key = query if key is None else key
         value = key if value is None else value
 
@@ -120,7 +137,7 @@ class MultiHeadAttention(nn.Module):
         d_head = self.d_model // self.num_heads
         scale = 1.0 / float(d_head) ** 0.5
 
-        if not return_attn:
+        if not return_attn and not block_size:
             sp_out = self._maybe_ring_attention(
                 query, key, value, b, n_q, n_k, d_head, scale
             )
@@ -142,7 +159,7 @@ class MultiHeadAttention(nn.Module):
             # (they cost more than the kernel itself; docs/performance.md).
             context = attention_nhd(
                 self.w_query(query), self.w_key(key), self.w_value(value),
-                self.num_heads, scale, default_interpret(),
+                self.num_heads, scale, default_interpret(), block_size,
             )
             return self.final_linear(context)
 
@@ -152,7 +169,10 @@ class MultiHeadAttention(nn.Module):
         q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))  # (B,H,N,D)
 
         probs = None
-        if self.use_flash and not return_attn and n_q == n_k:
+        if (
+            self.use_flash and not return_attn and n_q == n_k
+            and not block_size
+        ):
             if not flash_attention_available(n_q):
                 # long sequences: O(N)-memory blockwise online-softmax
                 # kernel with full Pallas backward
@@ -172,7 +192,8 @@ class MultiHeadAttention(nn.Module):
                 )
         else:
             context, probs = scaled_dot_product_attention(
-                q, k, v, return_attn, precision=self.matmul_precision
+                q, k, v, return_attn, precision=self.matmul_precision,
+                block_size=block_size,
             )
 
         context = context.transpose(0, 2, 1, 3).reshape(b, n_q, self.d_model)

@@ -36,6 +36,7 @@ class EncoderBlock(nn.Module):
         x: jnp.ndarray,
         deterministic: bool = True,
         return_attn: bool = False,
+        block_size: int = 0,
     ):
         ln1 = nn.LayerNorm(
             epsilon=1e-5,  # torch nn.LayerNorm default (parity)
@@ -77,7 +78,10 @@ class EncoderBlock(nn.Module):
         if return_attn:
             h, attn_probs = attention(h, return_attn=True)
         else:
-            h = attention(h)
+            # block_size > 0: block-diagonal attention for packed
+            # sequences (LN/FFN/dropout are per-token, so only attention
+            # needs to know about the packing)
+            h = attention(h, block_size=block_size)
         h = drop1(h, deterministic=deterministic)
         x = h + residual
 

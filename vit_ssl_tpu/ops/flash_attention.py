@@ -424,12 +424,14 @@ def _nhd_bwd_kernel(q_ref, k_ref, v_ref, do_ref, p_ref,
 
 
 def _attention_nhd_fwd_impl(xq, xk, xv, num_heads: int, scale: float,
-                            interpret: bool, save_probs: bool):
+                            interpret: bool, save_probs: bool,
+                            block_size: int = 0):
     b, n, hd = xq.shape
     d = hd // num_heads
     g = _nhd_fwd_group(b, n, hd, num_heads, xq.dtype.itemsize, save_probs)
     kernel = functools.partial(
-        _nhd_fwd_kernel, group=g, heads=num_heads, d=d, scale=scale
+        _nhd_fwd_kernel, group=g, heads=num_heads, d=d, scale=scale,
+        block_size=block_size,
     )
     spec = pl.BlockSpec((g, n, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -463,29 +465,37 @@ def _attention_nhd_fwd_impl(xq, xk, xv, num_heads: int, scale: float,
     )(xq, xk, xv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def attention_nhd(xq, xk, xv, num_heads: int, scale: float,
-                  interpret: bool = False):
+                  interpret: bool = False, block_size: int = 0):
     """Fused multi-head attention over (B, N, H·D) activations.
 
     Exact gradients via a second Pallas kernel; the (N, N) probabilities
     are saved in the training forward (bf16) so the backward skips the
     QKᵀ/softmax recompute. Output layout equals input layout — the caller
     never transposes.
+
+    ``block_size`` > 0 masks attention block-diagonally (sequence packing,
+    e.g. DINO's 4 local crops as one packed sequence); the backward kernel
+    is untouched because off-block probabilities are exactly zero.
     """
     return _attention_nhd_fwd_impl(
-        xq, xk, xv, num_heads, scale, interpret, save_probs=False
+        xq, xk, xv, num_heads, scale, interpret, save_probs=False,
+        block_size=block_size,
     )
 
 
-def _attention_nhd_vjp_fwd(xq, xk, xv, num_heads, scale, interpret):
+def _attention_nhd_vjp_fwd(xq, xk, xv, num_heads, scale, interpret,
+                           block_size):
     o, probs = _attention_nhd_fwd_impl(
-        xq, xk, xv, num_heads, scale, interpret, save_probs=True
+        xq, xk, xv, num_heads, scale, interpret, save_probs=True,
+        block_size=block_size,
     )
     return o, (xq, xk, xv, probs)
 
 
-def _attention_nhd_vjp_bwd(num_heads, scale, interpret, res, do):
+def _attention_nhd_vjp_bwd(num_heads, scale, interpret, block_size, res, do):
+    del block_size  # off-block probs are zero → gradients mask themselves
     xq, xk, xv, probs = res
     b, n, hd = xq.shape
     d = hd // num_heads

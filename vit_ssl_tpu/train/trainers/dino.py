@@ -71,6 +71,12 @@ class DINOTrainer(BaseTrainer):
                 self.config.training.get("teacher_dropout", True)
             ),
             grad_accum=int(self.config.training.get("grad_accum_steps", 1)),
+            # block-diagonal sequence packing of the student's local
+            # crops into the fused kernel's profitable regime
+            # (model.dino_pack_locals; measured on TPU, docs/performance.md)
+            pack_locals=bool(
+                self.config.model.get("dino_pack_locals", False)
+            ),
         )
 
     def _teacher_temp(self, epoch: int) -> float:

@@ -249,7 +249,8 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
 def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
                variant: str = "vit_s", grad_accum: int = 1,
                remat: bool = False, dropout: float = 0.1,
-               teacher_dropout: bool = True) -> dict:
+               teacher_dropout: bool = True,
+               pack_locals: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -330,6 +331,7 @@ def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
         model, tx, num_global_views=cfg["ng"], num_all_views=cfg["na"],
         student_temp=0.1, center_momentum=0.9, view_fn=view_fn,
         grad_accum=grad_accum, teacher_dropout=teacher_dropout,
+        pack_locals=pack_locals,
     )
 
     rs = np.random.RandomState(0)
@@ -491,6 +493,11 @@ def main(argv=None):
     parser.add_argument("--img", type=int, default=224)
     parser.add_argument("--grad-accum", type=int, default=1)
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument(
+        "--pack-locals", action="store_true",
+        help="dino: block-diagonal packing of the 4 local crops "
+        "(model.dino_pack_locals)",
+    )
     args = parser.parse_args(argv)
 
     warmup, iters = (1, 3) if args.quick else (3, 10)
@@ -555,8 +562,10 @@ def main(argv=None):
                         xla["ms_per_step"] / modes[mode]["ms_per_step"])
                     modes[f"{mode}_xla"] = xla
 
-    ours = _with_retries(lambda: bench_ours(args.batch, warmup, iters),
-                         "ours/dino")
+    ours = _with_retries(
+        lambda: bench_ours(args.batch, warmup, iters,
+                           pack_locals=args.pack_locals),
+        "ours/dino")
     modes["dino"] = ours
     if not args.no_xla_compare:
         xla = _with_retries(

@@ -23,7 +23,7 @@ real config; on a 4-class synthetic dataset at tiny widths the comparison
 is inherently noisier, so the study reports the measured deltas plus an
 over-seeds spread of the torch side itself as the noise yardstick.
 
-Usage: python scripts/outcome_parity.py [--epochs 12] [--report PARITY_REPORT.md]
+Usage: python scripts/outcome_parity.py [--epochs 30] [--report PARITY_REPORT.md]
 """
 
 from __future__ import annotations
@@ -44,11 +44,13 @@ LOCAL_IMG = 16
 CLASSES = 4
 BATCH = 32
 N_TRAIN, N_VAL = 256, 128
-LR, WD = 1e-3, 1e-3
+LR, WD = 2e-3, 1e-3
 DROPOUT = 0.1
 OUT_DIM = 64
 NG, NA = 2, 4
 T_TEMP, S_TEMP, T_MOM, C_MOM = 0.04, 0.1, 0.996, 0.9
+AUG_SCALE = (0.8, 1.0)          # supervised/simmim crop scale
+G_SCALE, L_SCALE = (0.5, 1.0), (0.3, 0.6)  # dino multi-crop scales
 
 
 def _torch():
@@ -71,17 +73,27 @@ def _jax():
 
 
 def make_dataset(seed=123):
+    """Orientation gratings: class = grating angle, with per-sample random
+    phase and frequency jitter plus Gaussian noise. Chosen after a
+    calibration sweep: class-pattern+noise mixes either let raw-pixel KNN
+    hit 1.0 (ceiling — comparison insensitive) or left every trained
+    model at chance; gratings at contrast 0.3 / noise 0.2 put the
+    reference's 30-epoch supervised accuracy at ~0.72 — mid-range, so an
+    implementation defect on either side would move the number."""
     rs = np.random.RandomState(seed)
-    patterns = rs.rand(CLASSES, IMG, IMG, 3).astype(np.float32)
+    thetas = np.arange(CLASSES) * np.pi / CLASSES
+    u, v = np.meshgrid(np.arange(IMG), np.arange(IMG), indexing="ij")
 
     def sample(n):
         y = rs.randint(0, CLASSES, n)
-        noise = rs.rand(n, IMG, IMG, 3).astype(np.float32)
-        # 8% pattern keeps the task non-trivial: raw-pixel cosine KNN
-        # scores ~0.51 here, so learned features have headroom on both
-        # sides of 1.0 and the outcome comparison is actually sensitive
-        x = 0.08 * patterns[y] + 0.92 * noise
-        return x.astype(np.float32), y.astype(np.int64)
+        x = np.empty((n, IMG, IMG, 3), np.float32)
+        for i in range(n):
+            th = thetas[y[i]]
+            f = rs.uniform(0.15, 0.25)
+            ph = rs.uniform(0, 2 * np.pi)
+            g = np.sin(2 * np.pi * f * (np.cos(th) * u + np.sin(th) * v) + ph)
+            x[i] = (0.5 + 0.3 * g)[..., None] + 0.2 * rs.randn(IMG, IMG, 3)
+        return np.clip(x, 0, 1).astype(np.float32), y.astype(np.int64)
 
     xtr, ytr = sample(N_TRAIN)
     xva, yva = sample(N_VAL)
@@ -147,7 +159,7 @@ def torch_supervised(data, epochs, seed):
     model.train()
     for _ in range(epochs):
         for idx in _epoch_batches(len(xtr), rs):
-            xb = augment_batch(xtr[idx], aug_rng)
+            xb = augment_batch(xtr[idx], aug_rng, IMG, AUG_SCALE)
             opt.zero_grad(set_to_none=True)
             loss = crit(
                 model(torch.from_numpy(to_nchw(xb))),
@@ -188,7 +200,7 @@ def jax_supervised(data, epochs, seed):
     w = jnp.ones((BATCH,), jnp.float32)
     for _ in range(epochs):
         for idx in _epoch_batches(len(xtr), rs):
-            xb = augment_batch(xtr[idx], aug_rng)
+            xb = augment_batch(xtr[idx], aug_rng, IMG, AUG_SCALE)
             batch = {
                 "image": jnp.asarray(xb),
                 "label": jnp.asarray(ytr[idx].astype(np.int32)),
@@ -223,7 +235,7 @@ def torch_simmim(data, epochs, seed):
     model.train()
     for _ in range(epochs):
         for idx in _epoch_batches(len(xtr), rs):
-            xb = augment_batch(xtr[idx], aug_rng)
+            xb = augment_batch(xtr[idx], aug_rng, IMG, AUG_SCALE)
             opt.zero_grad(set_to_none=True)
             preds, targets = model(torch.from_numpy(to_nchw(xb)))
             loss = crit(preds, targets)
@@ -267,7 +279,7 @@ def jax_simmim(data, epochs, seed):
     w = jnp.ones((BATCH,), jnp.float32)
     for _ in range(epochs):
         for idx in _epoch_batches(len(xtr), rs):
-            xb = augment_batch(xtr[idx], aug_rng)
+            xb = augment_batch(xtr[idx], aug_rng, IMG, AUG_SCALE)
             state, _ = step(state, {"image": jnp.asarray(xb), "weight": w})
 
     def feats(x):
@@ -288,9 +300,9 @@ def jax_simmim(data, epochs, seed):
 
 def _multicrop(x, rng):
     """NG global + (NA-NG) local crops per batch, NHWC."""
-    views = [augment_batch(x, rng, IMG, (0.5, 1.0)) for _ in range(NG)]
+    views = [augment_batch(x, rng, IMG, G_SCALE) for _ in range(NG)]
     views += [
-        augment_batch(x, rng, LOCAL_IMG, (0.15, 0.5)) for _ in range(NA - NG)
+        augment_batch(x, rng, LOCAL_IMG, L_SCALE) for _ in range(NA - NG)
     ]
     return views
 
@@ -395,7 +407,7 @@ def jax_dino(data, epochs, seed):
 # ---------------------------------------------------------------------------
 
 
-def run(epochs: int, torch_seeds=(0, 1), jax_seed=42):
+def run(epochs: int, torch_seeds=(0, 1, 2), jax_seeds=(42, 7, 100)):
     data = make_dataset()
     results = {}
     for mode, tfn, jfn in (
@@ -405,15 +417,16 @@ def run(epochs: int, torch_seeds=(0, 1), jax_seed=42):
     ):
         t0 = time.time()
         torch_scores = [tfn(data, epochs, s) for s in torch_seeds]
-        ours = jfn(data, epochs, jax_seed)
+        ours_scores = [jfn(data, epochs, s) for s in jax_seeds]
         results[mode] = {
             "torch": torch_scores,
-            "ours": ours,
+            "ours": ours_scores,
             "secs": time.time() - t0,
         }
         print(
             f"[{mode}] torch={['%.4f' % s for s in torch_scores]} "
-            f"ours={ours:.4f} ({results[mode]['secs']:.0f}s)", flush=True,
+            f"ours={['%.4f' % s for s in ours_scores]} "
+            f"({results[mode]['secs']:.0f}s)", flush=True,
         )
     return results
 
@@ -427,20 +440,25 @@ def write_report(results, epochs: int, path: str):
         "",
         f"Both frameworks trained INDEPENDENTLY (own init/RNG/shuffles, "
         f"dropout 0.1, random-resized-crop+flip augmentation ON) for "
-        f"{epochs} epochs on the same 4-class synthetic dataset "
-        f"({N_TRAIN} train / {N_VAL} val, tiny ViT d={D} L={BLOCKS}); "
-        "torch at two seeds bounds the run-to-run noise. "
-        "`scripts/outcome_parity.py`.",
+        f"{epochs} epochs on the same 4-class orientation-grating dataset "
+        f"({N_TRAIN} train / {N_VAL} val, tiny ViT d={D} L={BLOCKS}), "
+        "3 seeds per side. `scripts/outcome_parity.py`. Single-run noise "
+        f"at this scale is large (1-sigma ~4 pts at n={N_VAL}; both sides "
+        "occasionally hit a bad-init seed), so means over seeds are the "
+        "comparison; the north-star 0.5-pt bound applies to the full "
+        "STL10 config, not this miniature.",
         "",
-        "| mode | metric | torch seed A | torch seed B | ours | ours − torch mean |",
-        "|---|---|---|---|---|---|",
+        "| mode | metric | torch (3 seeds) | ours (3 seeds) | torch mean | ours mean | delta |",
+        "|---|---|---|---|---|---|---|",
     ]
     for mode, r in results.items():
         tmean = float(np.mean(r["torch"]))
+        omean = float(np.mean(r["ours"]))
+        tstr = "/".join(f"{v:.3f}" for v in r["torch"])
+        ostr = "/".join(f"{v:.3f}" for v in r["ours"])
         lines.append(
-            f"| {mode} | {metric[mode]} | {r['torch'][0]:.4f} | "
-            f"{r['torch'][1]:.4f} | {r['ours']:.4f} | "
-            f"{r['ours'] - tmean:+.4f} |"
+            f"| {mode} | {metric[mode]} | {tstr} | {ostr} | "
+            f"{tmean:.4f} | {omean:.4f} | {omean - tmean:+.4f} |"
         )
     lines.append("")
     with open(path, "a") as f:
@@ -450,7 +468,7 @@ def write_report(results, epochs: int, path: str):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--report", default=None,
                     help="append the results table to this markdown file")
     args = ap.parse_args(argv)

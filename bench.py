@@ -494,9 +494,15 @@ def main(argv=None):
     parser.add_argument("--grad-accum", type=int, default=1)
     parser.add_argument("--remat", action="store_true")
     parser.add_argument(
-        "--pack-locals", action="store_true",
+        "--pack-locals", dest="pack_locals", action="store_true",
+        default=True,
         help="dino: block-diagonal packing of the 4 local crops "
-        "(model.dino_pack_locals)",
+        "(model.dino_pack_locals; the production default — measured "
+        "1.053x on v5e)",
+    )
+    parser.add_argument(
+        "--no-pack-locals", dest="pack_locals", action="store_false",
+        help="disable locals packing (the pre-round-3 step shape)",
     )
     args = parser.parse_args(argv)
 

@@ -163,6 +163,20 @@ def measure_steps(step_once, state, reps: int, outer: int) -> float:
     return max(dt, 1e-9) / (reps * outer)
 
 
+def _enable_compile_cache():
+    """Persistent compile cache under /tmp: repeat runs (the driver
+    re-runs this file after the builder's own measurements) skip the
+    multi-minute remote Mosaic/XLA compiles — the first cold supervised
+    leg alone cost ~25 min through the tunnel without it."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _model_common(use_flash: bool, img: int, variant: str = "vit_s",
                   remat: bool = False):
     import jax
@@ -196,6 +210,7 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
     from vit_ssl_tpu.train.steps import make_simmim_steps, make_supervised_steps
 
     jax.config.update("jax_default_prng_impl", "rbg")
+    _enable_compile_cache()
     iters = max(iters, 10)  # short timing loops mis-measure on this tunnel
     rs = np.random.RandomState(0)
     patch = 16
@@ -264,13 +279,7 @@ def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
     cfg = dict(VIT_S)
     cfg.update(VARIANTS[variant])
     jax.config.update("jax_default_prng_impl", "rbg")
-    # persistent compile cache: repeat runs (the driver re-runs this file)
-    # skip the multi-minute remote Mosaic/XLA compiles
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _enable_compile_cache()
     log(f"[ours] backend={jax.default_backend()} devices={jax.device_count()}")
 
     # The axon tunnel pays a ~6-minute one-time device->host channel

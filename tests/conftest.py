@@ -32,3 +32,18 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng_seed():
     return 0
+
+
+@pytest.fixture(autouse=True)
+def _reset_parallel_context():
+    """The trace-time parallel context (vit_ssl_tpu/parallel/context.py)
+    is process-global by design (trainers publish it before compiling
+    steps). Tests that build trainers with sp/tp meshes must not leak
+    that routing into later tests' unrelated shard_maps."""
+    yield
+    try:
+        from vit_ssl_tpu.parallel import set_parallel_context
+
+        set_parallel_context(None)
+    except Exception:
+        pass

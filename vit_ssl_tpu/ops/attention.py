@@ -222,6 +222,17 @@ class MultiHeadAttention(nn.Module):
         sp = parallel_context.sp_size()
         if sp <= 1 or n_q != n_k:
             return None
+        # never dispatch from inside an existing shard_map region (e.g. a
+        # pipeline stage, or a user's own shard_map): the nested shard_map
+        # would reference a different mesh than the manual context.
+        # get_abstract_mesh reflects the tracing context's mesh.
+        try:
+            from jax.sharding import get_abstract_mesh
+
+            if get_abstract_mesh()._any_axis_manual:
+                return None
+        except Exception:
+            pass
         if n_q % sp != 0:
             key_shape = (n_q, sp)
             if key_shape not in _SP_FALLBACK_WARNED:

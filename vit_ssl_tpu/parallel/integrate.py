@@ -176,6 +176,17 @@ def maybe_pipelined(module: nn.Module, mesh, config=None):
     ``'pipe'`` axis of size > 1; otherwise return it unchanged."""
     if mesh is None or int(mesh.shape.get(PIPE_AXIS, 1)) <= 1:
         return module
+    if int(mesh.shape.get("seq", 1)) > 1:
+        # the pipelined encoder runs inside shard_map (manual axes), where
+        # the sp dispatch in MultiHeadAttention deliberately disables
+        # itself (nested shard_map over a different mesh is invalid) —
+        # numerics stay correct (tokens replicate over 'seq') but the seq
+        # devices do redundant work. Loud, never silent.
+        logger.warning(
+            "parallel.pp combined with parallel.sp: ring attention cannot "
+            "run inside pipeline stages; the 'seq' axis devices replicate "
+            "the stage compute. Use pp with dp/tp instead."
+        )
     m = 0
     if config is not None:
         m = int((config.get("parallel", {}) or {}).get("pp_microbatches", 0) or 0)

@@ -529,6 +529,7 @@ def main(argv=None):
             r = bench_ours(
                 args.batch, warmup, iters, variant=args.variant,
                 grad_accum=args.grad_accum, remat=args.remat,
+                pack_locals=args.pack_locals,
             )
         else:
             r = bench_mode(

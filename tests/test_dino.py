@@ -278,3 +278,59 @@ class TestPackedLocals:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4
             )
+
+    def test_dino_step_pack_locals_with_grad_accum(self):
+        """Packing composes with the two-pass accumulation path."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from vit_ssl_tpu.train.state import create_train_state
+        from vit_ssl_tpu.train.steps import make_dino_steps
+
+        model = self._model()
+        rs = np.random.RandomState(5)
+        b = 4
+        views = [
+            jnp.asarray(rs.rand(b, 16, 16, 3).astype(np.float32))
+            for _ in range(2)
+        ] + [
+            jnp.asarray(rs.rand(b, 8, 8, 3).astype(np.float32))
+            for _ in range(4)
+        ]
+        batch = {"views": views, "weight": jnp.ones((b,), jnp.float32)}
+
+        def fresh(tx):
+            student = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3))
+            )["params"]
+            teacher = jax.tree_util.tree_map(
+                lambda v: jnp.array(v, copy=True), student
+            )
+            return create_train_state(
+                student, tx, jax.random.PRNGKey(1),
+                teacher_params=teacher, center=jnp.zeros((1, 16), jnp.float32),
+            )
+
+        tx = optax.adamw(1e-3)
+        kw = dict(num_global_views=2, num_all_views=6, student_temp=0.1,
+                  center_momentum=0.9, donate=False, teacher_dropout=False)
+        step_full, _ = make_dino_steps(model, tx, pack_locals=True, **kw)
+        step_acc, _ = make_dino_steps(
+            model, tx, pack_locals=True, grad_accum=2, **kw
+        )
+        s_f, s_a = fresh(tx), fresh(tx)
+        tt, tm = jnp.float32(0.04), jnp.float32(0.996)
+        s_f, out_f = step_full(s_f, batch, tt, tm)
+        s_a, out_a = step_acc(s_a, batch, tt, tm)
+        np.testing.assert_allclose(
+            float(out_f["loss"]), float(out_a["loss"]), rtol=1e-5
+        )
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(s_f.params),
+            jax.tree_util.tree_leaves(s_a.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-5
+            )

@@ -88,6 +88,49 @@ def test_jit_compiles():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
 
+def test_lse_variant_forward_matches_reference():
+    from vit_ssl_tpu.ops.flash_blockwise import blockwise_attention_lse
+
+    q, k, v = _qkv(jax.random.PRNGKey(6), n=96, d=16)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    out, lse = blockwise_attention_lse(q, k, v, scale, 32, 32, True)
+    ref, _ = scaled_dot_product_attention(q, k, v)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+    lse_ref = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+    assert lse.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=3e-5, rtol=1e-4)
+
+
+def test_lse_variant_gradients_include_lse_cotangent():
+    """Gradients flow through BOTH outputs: a loss mixing out and lse must
+    match the jnp reference (the dlse cotangent folds into the backward's
+    delta term)."""
+    from vit_ssl_tpu.ops.flash_blockwise import blockwise_attention_lse
+
+    q, k, v = _qkv(jax.random.PRNGKey(7), n=80, d=16)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    w = jax.random.normal(jax.random.PRNGKey(8), (q.shape[0], q.shape[1], q.shape[2]))
+
+    def loss_flash(q, k, v):
+        out, lse = blockwise_attention_lse(q, k, v, scale, 32, 32, True)
+        return jnp.sum(out**2) + jnp.sum(w * lse)
+
+    def loss_ref(q, k, v):
+        out, _ = scaled_dot_product_attention(q, k, v)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        lse = jax.scipy.special.logsumexp(s, axis=-1)
+        return jnp.sum(out**2) + jnp.sum(w * lse)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, gf, gr in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_mha_dispatches_to_blockwise_for_long_seq():
     """MultiHeadAttention with use_flash routes N>1024 through the
     blockwise kernel and matches the XLA path."""

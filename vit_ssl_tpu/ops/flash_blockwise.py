@@ -215,7 +215,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_bwd(res, do, scale, block_q, block_k, interpret):
+def _flash_bwd(res, do, scale, block_q, block_k, interpret, dlse=None):
+    """dlse (optional, (B, H, N) fp32): cotangent of the log-sum-exp output
+    of :func:`blockwise_attention_lse`. Because ∂lse_i/∂s_ij = p_ij, the lse
+    cotangent enters the score gradient as ds_ij += p_ij·dlse_i — exactly the
+    −delta term's shape — so it folds into delta (delta_i −= dlse_i) and both
+    backward kernels are reused unchanged."""
     q, k, v, o, lse = res
     b, h, n, d = q.shape
     bq = min(block_q, _round_up(n, 8))
@@ -231,6 +236,8 @@ def _flash_bwd(res, do, scale, block_q, block_k, interpret):
     qp, kp, vp, dop = pad(q), pad(k), pad(v), pad(do)
     # delta_i = rowsum(dO_i · O_i); lse padded with +inf -> p = 0 on pad rows
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, n_pad - n))).reshape(bh, 1, n_pad)
     lse_p = jnp.pad(
         lse, ((0, 0), (0, 0), (0, n_pad - n)), constant_values=jnp.inf
@@ -299,6 +306,38 @@ def _vjp_bwd(scale, block_q, block_k, interpret, res, do):
 
 
 blockwise_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def blockwise_attention_lse(q, k, v, scale: float,
+                            block_q: int = DEFAULT_BLOCK_Q,
+                            block_k: int = DEFAULT_BLOCK_K,
+                            interpret: bool = False):
+    """Like :func:`blockwise_attention` but also returns the per-row
+    log-sum-exp ``(B, H, N) fp32`` — and the lse output is differentiable.
+
+    This is the composition primitive for distributed attention: partial
+    attentions over disjoint K/V chunks merge exactly via
+    ``lse = logaddexp(lse_a, lse_b); o = o_a·e^{lse_a−lse} + o_b·e^{lse_b−lse}``
+    (used by :mod:`vit_ssl_tpu.parallel.ring_attention` to run this kernel
+    per ring hop). The lse cotangent costs nothing extra in the backward —
+    it folds into the delta vector (see :func:`_flash_bwd`).
+    """
+    out, lse, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out, lse
+
+
+def _vjp_lse_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, lse, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _vjp_lse_bwd(scale, block_q, block_k, interpret, res, cts):
+    do, dlse = cts
+    return _flash_bwd(res, do, scale, block_q, block_k, interpret, dlse=dlse)
+
+
+blockwise_attention_lse.defvjp(_vjp_lse_fwd, _vjp_lse_bwd)
 
 
 def default_interpret() -> bool:

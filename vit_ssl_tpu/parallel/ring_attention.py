@@ -16,12 +16,18 @@ Gradients come from plain JAX autodiff: ``ppermute`` transposes to the
 inverse rotation and the ``lax.scan`` body is rematerialised
 (``jax.checkpoint``) so backward memory also stays O(N/devices).
 
-Scope note (stated, not hidden): the per-hop blockwise attention inside
-the shard_map body is jnp — stock XLA fusions per hop, not the Pallas
-kernel. At ViT-family token counts the per-shard chunks are far below
-the kernel's profitable regime (ops/flash_attention.py gates), so XLA is
-the right engine here; swapping the hop body for a Pallas call is future
-work that only pays at much longer sequences.
+Per-hop engine: each hop attends the resident Q shard to the current K/V
+chunk and yields ``(o_hop, lse_hop)``; hops merge exactly via
+``logaddexp`` (the flash decomposition). The hop body dispatches between
+two engines — stock-XLA jnp, or the Pallas blockwise kernel
+(:func:`vit_ssl_tpu.ops.flash_blockwise.blockwise_attention_lse`, whose
+lse output is differentiable so autodiff through the merge is exact).
+At ViT-family token counts the per-shard chunks are far below the
+kernel's profitable regime (the measured gates in ops/flash_attention.py
+/ docs/performance.md), so ``hop_kernel="auto"`` keeps jnp there and
+switches to Pallas once the per-device chunk reaches
+``RING_PALLAS_MIN_CHUNK`` tokens — the long-context regime ring
+attention exists for, where the kernel wins 2.2–2.6× over XLA.
 
 Reachable from the training CLI as ``parallel.sp`` — ``MultiHeadAttention``
 dispatches here at trace time via ``parallel/context.py``.
@@ -47,6 +53,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 SEQ_AXIS = "seq"
 
+# Per-device chunk length at which "auto" switches the hop body from jnp to
+# the Pallas blockwise kernel. Below this the kernel's measured gates say
+# XLA wins (docs/performance.md: kernel losses at mid-N/low-BH, wins
+# 2.2-2.6x at N>=2048); a ring hop is an (N_local x N_local) attention, so
+# the same threshold applies to the chunk.
+RING_PALLAS_MIN_CHUNK = 1024
+
 
 def create_seq_mesh(num_devices: int = -1, axis_name: str = SEQ_AXIS) -> Mesh:
     devices = jax.devices()
@@ -55,24 +68,46 @@ def create_seq_mesh(num_devices: int = -1, axis_name: str = SEQ_AXIS) -> Mesh:
     return Mesh(np.asarray(devices[:num_devices]), (axis_name,))
 
 
-def _attend_chunk(q, kc, vc, scale, o, l, m):
-    """One blockwise-softmax accumulation of a K/V chunk.
+def _hop_jnp(q, kc, vc, scale):
+    """Partial attention of the Q shard against one K/V chunk.
 
-    q (B,H,Nl,D); kc/vc (B,H,Nc,D); o fp32 accumulator; l/m running
-    normaliser and max, (B,H,Nl,1) fp32."""
+    q (B,H,Nl,D); kc/vc (B,H,Nc,D). Returns the hop's normalised output
+    (fp32) and per-row log-sum-exp (B,H,Nl fp32)."""
     s = jnp.einsum(
         "bhnd,bhmd->bhnm", q, kc, preferred_element_type=jnp.float32
     ) * scale
-    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    corr = jnp.exp(m - m_new)
-    l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jnp.einsum(
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum(
         "bhnm,bhmd->bhnd", p.astype(vc.dtype), vc,
         preferred_element_type=jnp.float32,
+    ) / l
+    return o, (m + jnp.log(l))[..., 0]
+
+
+def _hop_pallas(q, kc, vc, scale):
+    """Pallas-kernel hop: the blockwise flash kernel with differentiable
+    lse output (backward is the 2-kernel Pallas scheme; the merge's lse
+    cotangent folds into its delta term at zero extra cost)."""
+    from ..ops.flash_blockwise import blockwise_attention_lse, default_interpret
+
+    o, lse = blockwise_attention_lse(
+        q, kc, vc, scale, interpret=default_interpret()
     )
-    o_new = o * corr + pv
-    return o_new, l_new, m_new
+    return o.astype(jnp.float32), lse
+
+
+def _use_pallas_hop(hop_kernel: str, n_local: int) -> bool:
+    if hop_kernel == "pallas":
+        return True
+    if hop_kernel == "jnp":
+        return False
+    if hop_kernel != "auto":
+        raise ValueError(f"hop_kernel must be auto|pallas|jnp, got {hop_kernel!r}")
+    return (
+        jax.default_backend() == "tpu" and n_local >= RING_PALLAS_MIN_CHUNK
+    )
 
 
 def ring_attention(
@@ -81,35 +116,42 @@ def ring_attention(
     v: jnp.ndarray,
     scale: float,
     axis_name: str = SEQ_AXIS,
+    hop_kernel: str = "auto",
 ) -> jnp.ndarray:
     """Exact attention over the full (ring-distributed) sequence.
 
     Call INSIDE shard_map/pmap: q/k/v are this device's (B, H, N_local, D)
     shards of sequences sharded along ``axis_name``. Returns the local
-    (B, H, N_local, D) output shard.
+    (B, H, N_local, D) output shard. ``hop_kernel`` picks the per-hop
+    engine (``"auto"``: Pallas once the chunk is in the kernel-win regime,
+    jnp otherwise).
     """
     n_ring = jax.lax.psum(1, axis_name)
     b, h, n_local, d = q.shape
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+    hop = _hop_pallas if _use_pallas_hop(hop_kernel, n_local) else _hop_jnp
 
     o0 = jnp.zeros((b, h, n_local, d), jnp.float32)
-    l0 = jnp.zeros((b, h, n_local, 1), jnp.float32)
-    m0 = jnp.full((b, h, n_local, 1), -jnp.inf, jnp.float32)
+    lse0 = jnp.full((b, h, n_local), -jnp.inf, jnp.float32)
 
     @jax.checkpoint
     def body(carry, _):
-        o, l, m, kc, vc = carry
-        o, l, m = _attend_chunk(q, kc, vc, scale, o, l, m)
+        o, lse, kc, vc = carry
+        o_hop, lse_hop = hop(q, kc, vc, scale)
+        # exact flash merge of the running result with this hop's chunk
+        lse_new = jnp.logaddexp(lse, lse_hop)
+        o = (
+            o * jnp.exp(lse - lse_new)[..., None]
+            + o_hop * jnp.exp(lse_hop - lse_new)[..., None]
+        )
         # rotate K/V one hop around the ring while the next step's math
         # proceeds — XLA overlaps the collective with compute
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
-        return (o, l, m, kc, vc), ()
+        return (o, lse_new, kc, vc), ()
 
-    (o, l, _, _, _), _ = jax.lax.scan(
-        body, (o0, l0, m0, k, v), None, length=n_ring
-    )
-    return (o / l).astype(q.dtype)
+    (o, _, _, _), _ = jax.lax.scan(body, (o0, lse0, k, v), None, length=n_ring)
+    return o.astype(q.dtype)
 
 
 def ring_attention_sharded(
@@ -122,6 +164,7 @@ def ring_attention_sharded(
     check_rep: bool = False,
     batch_axis: str = None,
     head_axis: str = None,
+    hop_kernel: str = "auto",
 ) -> jnp.ndarray:
     """Global-array entry point: shards (B, H, N, D) along N over
     ``axis_name`` and runs :func:`ring_attention` under shard_map.
@@ -135,7 +178,10 @@ def ring_attention_sharded(
     """
     spec = P(batch_axis, head_axis, axis_name, None)
     fn = jax.shard_map(
-        functools.partial(ring_attention, scale=scale, axis_name=axis_name),
+        functools.partial(
+            ring_attention, scale=scale, axis_name=axis_name,
+            hop_kernel=hop_kernel,
+        ),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -54,10 +54,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 SEQ_AXIS = "seq"
 
 # Per-device chunk length at which "auto" switches the hop body from jnp to
-# the Pallas blockwise kernel. Below this the kernel's measured gates say
-# XLA wins (docs/performance.md: kernel losses at mid-N/low-BH, wins
-# 2.2-2.6x at N>=2048); a ring hop is an (N_local x N_local) attention, so
-# the same threshold applies to the chunk.
+# the Pallas blockwise kernel. Measured directly at hop shapes on v5e
+# (scripts/ring_hop_bench.py, table in docs/performance.md): the kernel
+# loses below 1024 local tokens (0.78-0.96x fwd+bwd) and wins at and above
+# it (1.81x at 1024, 2.37x at 2048, 2.59x at 4096).
 RING_PALLAS_MIN_CHUNK = 1024
 
 

@@ -261,6 +261,53 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
             "mfu": mfu}
 
 
+def bench_inference(batch: int, iters: int, use_flash: bool = True,
+                    variant: str = "vit_s", img: int = 192) -> dict:
+    """Serving-path throughput: deterministic (eval-mode) ViT forward,
+    bf16, jitted — the classify/embed step `evaluate.py` and the KNN/
+    linear CLIs run. Forward-only analytic FLOPs (no 3× train multiplier)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_ssl_tpu.models import ViT
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    _enable_compile_cache()
+    patch = 16
+    model = ViT(num_classes=10, **_model_common(use_flash, img, variant))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)))["params"]
+    rs = np.random.RandomState(0)
+    image = jax.device_put(
+        (rs.rand(batch, img, img, 3).astype(np.float32) - 0.5) * 2
+    ).astype(jnp.bfloat16)
+
+    def step_once(carry):
+        # params ride the carry: closed-over trees become HLO constants,
+        # and at ViT-B size the remote-compile request body rejects them
+        p, x, acc = carry
+        logits = model.apply({"params": p}, x, deterministic=True)
+        s = jnp.sum(logits).astype(jnp.float32)
+        # chain reps with a value dependence that is exactly zero
+        x = x + (0.0 * s).astype(x.dtype)
+        return (p, x, acc + s), s
+
+    sec = measure_steps(step_once, (params, image, jnp.float32(0.0)),
+                        *((10, 1) if iters <= 3 else (40, 2)))
+    ms = sec * 1e3
+    ips = batch / sec
+    v = VARIANTS[variant]
+    seq = (img // patch) ** 2 + 1
+    flops = vit_fwd_flops(batch, seq, v["num_blocks"], v["embed_dim"],
+                          v["mlp_dim"], 3 * patch * patch)
+    mfu = flops / sec / peak_flops()
+    tag = f"ours/infer/{variant}{'' if use_flash else '/xla'}"
+    log(f"[{tag}] {ips:.1f} img/s/chip, {ms:.2f} ms/batch, "
+        f"{flops/1e12:.3f} TFLOP/batch, MFU {mfu:.1%}")
+    return {"images_per_sec": ips, "ms_per_step": ms,
+            "tflop_per_step": flops / 1e12, "mfu": mfu}
+
+
 def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
                variant: str = "vit_s", grad_accum: int = 1,
                remat: bool = False, dropout: float = 0.1,
@@ -499,6 +546,11 @@ def main(argv=None):
     )
     parser.add_argument("--variant-mode", default="supervised",
                         choices=["supervised", "simmim", "dino"])
+    parser.add_argument(
+        "--inference", action="store_true",
+        help="serving path: deterministic jitted ViT forward (combine "
+        "with --variant/--img/--batch); forward-only FLOPs in the MFU",
+    )
     parser.add_argument("--img", type=int, default=224)
     parser.add_argument("--grad-accum", type=int, default=1)
     parser.add_argument("--remat", action="store_true")
@@ -522,6 +574,22 @@ def main(argv=None):
         import jax.numpy as jnp
 
         float(jnp.zeros(()))
+
+    if args.inference:
+        threading.Thread(target=_warm_channel, daemon=True).start()
+        variant = args.variant or "vit_s"
+        r = bench_inference(args.batch, iters, variant=variant, img=args.img)
+        result = {
+            "metric": f"inference_{variant}_throughput",
+            "value": round(r["images_per_sec"], 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "ms_per_batch": round(r["ms_per_step"], 2),
+            "mfu": round(r["mfu"], 4),
+            "config": {"img": args.img, "batch": args.batch},
+        }
+        print(json.dumps(result), flush=True)
+        return result
 
     if args.variant:
         threading.Thread(target=_warm_channel, daemon=True).start()

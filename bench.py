@@ -668,6 +668,12 @@ def main(argv=None):
             "ours/dino/no-dropout", required=False)
         if abl is not None:
             modes["dino_nodropout"] = abl
+        # serving path: deterministic jitted forward (fwd-only FLOPs)
+        inf = _with_retries(
+            lambda: bench_inference(256, iters, img=192),
+            "ours/inference", required=False)
+        if inf is not None:
+            modes["inference"] = inf
 
     if args.skip_baseline:
         baseline = float("nan")

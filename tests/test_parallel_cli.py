@@ -98,6 +98,18 @@ def test_combined_tp_sp(data_root, baseline, tmp_path):
     _assert_params_close(baseline, tree, atol=5e-4)
 
 
+def test_combined_tp_pp_sp(data_root, baseline, tmp_path):
+    """ALL model axes at once: tp=2 × pp=2 × sp=2 (dp=1) on the 8-device
+    mesh — Megatron sharding inside GPipe stages with ring attention —
+    still matches the dp-only run."""
+    run_dir = str(tmp_path / "tp_pp_sp")
+    tree = _run_supervised(
+        data_root, run_dir,
+        extra=("parallel.tp=2", "parallel.pp=2", "parallel.sp=2"),
+    )
+    _assert_params_close(baseline, tree, atol=5e-4)
+
+
 # ---------------------------------------------------------------------------
 # mesh construction + validation
 # ---------------------------------------------------------------------------

@@ -79,6 +79,36 @@ def test_bfloat16_forward():
     )
 
 
+def test_bfloat16_gradients():
+    """bf16 inputs: the backward's matmul operands stay bf16 (MXU-rate)
+    with fp32 accumulation — gradients must still track the fp32 jnp
+    reference within bf16 resolution."""
+    q, k, v = _qkv(jax.random.PRNGKey(12), n=96, dtype=jnp.bfloat16)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            blockwise_attention(q, k, v, scale, 32, 32, True).astype(jnp.float32) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        out, _ = scaled_dot_product_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        return jnp.sum(out**2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    for name, gf, gr in zip("qkv", g_flash, g_ref):
+        assert gf.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(gf, np.float32), np.asarray(gr), atol=0.25, rtol=5e-2,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_jit_compiles():
     q, k, v = _qkv(jax.random.PRNGKey(5), n=64)
     scale = 1.0 / np.sqrt(q.shape[-1])

@@ -32,13 +32,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 0  # 0 = auto (measured cost model, _pick_block)
+DEFAULT_BLOCK_K = 0
 NEG_INF = -1e30
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# Measured kernel throughput by (square) block size — v5e, bf16, D=64,
+# fwd+bwd TF/s at N=2048/4096 (scripts/blockwise_tune.py). Larger blocks
+# run faster per FLOP but pad N up to a block multiple, and padded
+# rows/cols are computed; the auto choice minimises padded-FLOPs /
+# throughput. 2048² blocks fail to compile (VMEM), 256↔1024 is a 2.3×
+# throughput spread.
+_BLOCK_TFS = {256: 20.9, 512: 39.5, 1024: 48.6}
+
+
+def _pick_block(n: int) -> int:
+    def cost(b):
+        waste = (_round_up(n, b) / n) ** 2
+        return waste / _BLOCK_TFS[b]
+
+    return min(_BLOCK_TFS, key=cost)
 
 
 # ---------------------------------------------------------------------------
@@ -89,8 +106,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
     b, h, n, d = q.shape
-    bq = min(block_q, _round_up(n, 8))
-    bk = min(block_k, _round_up(n, 8))
+    bq = min(block_q or _pick_block(n), _round_up(n, 8))
+    bk = min(block_k or _pick_block(n), _round_up(n, 8))
     n_pad = _round_up(n, max(bq, bk))
     bh = b * h
 
@@ -150,9 +167,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dv = jnp.zeros((bk, d), jnp.float32)
 
     def body(i, carry):
+        # matmul operands stay in the input dtype (bf16 in training) so
+        # the MXU runs at full rate — fp32 operands cost ~4x; accumulation
+        # is fp32 via preferred_element_type (same scheme as the NHD
+        # backward kernel, ops/flash_attention.py::_nhd_bwd_kernel)
         dk, dv = carry
         q_blk = q_ref[0, pl.ds(i * block_q, block_q), :]
-        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
 
@@ -161,18 +182,19 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         ) * scale  # (Bq, Bk)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kj * bk
         s = jnp.where(col < seq_len, s, NEG_INF)
-        p = jnp.exp(s - lse)  # (Bq, Bk)
+        p = jnp.exp(s - lse)  # (Bq, Bk) fp32
 
         dv = dv + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
-            do_blk, v_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do_blk, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Bq, Bk)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q_blk.dtype)
         dk = dk + jax.lax.dot_general(
-            ds, q_blk.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds, q_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return dk, dv
@@ -184,9 +206,12 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                *, scale, seq_len, block_k, num_k_blocks):
-    """Grid (BH, num_q_blocks). q/do blocks resident; stream k/v blocks."""
+    """Grid (BH, num_q_blocks). q/do blocks resident; stream k/v blocks.
+
+    Matmul operands stay in the input dtype (bf16 in training; fp32
+    accumulation via preferred_element_type) — see _dkv_kernel."""
     q_blk = q_ref[0]
-    do_blk = do_ref[0].astype(jnp.float32)
+    do_blk = do_ref[0]
     bq, d = q_blk.shape
     qi = pl.program_id(1)
     lse = lse_ref[0, 0, pl.ds(qi * bq, bq)][:, None]
@@ -202,12 +227,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         s = jnp.where(col < seq_len, s, NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
-            do_blk, v_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do_blk, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q_blk.dtype)
         return dq + jax.lax.dot_general(
-            ds, k_blk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds, k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -223,8 +248,8 @@ def _flash_bwd(res, do, scale, block_q, block_k, interpret, dlse=None):
     backward kernels are reused unchanged."""
     q, k, v, o, lse = res
     b, h, n, d = q.shape
-    bq = min(block_q, _round_up(n, 8))
-    bk = min(block_k, _round_up(n, 8))
+    bq = min(block_q or _pick_block(n), _round_up(n, 8))
+    bk = min(block_k or _pick_block(n), _round_up(n, 8))
     n_pad = _round_up(n, max(bq, bk))
     bh = b * h
 

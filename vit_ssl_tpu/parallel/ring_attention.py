@@ -27,7 +27,7 @@ kernel's profitable regime (the measured gates in ops/flash_attention.py
 / docs/performance.md), so ``hop_kernel="auto"`` keeps jnp there and
 switches to Pallas once the per-device chunk reaches
 ``RING_PALLAS_MIN_CHUNK`` tokens — the long-context regime ring
-attention exists for, where the kernel wins 2.2–2.6× over XLA.
+attention exists for, where the kernel wins ~3× over XLA.
 
 Reachable from the training CLI as ``parallel.sp`` — ``MultiHeadAttention``
 dispatches here at trace time via ``parallel/context.py``.
@@ -56,8 +56,9 @@ SEQ_AXIS = "seq"
 # Per-device chunk length at which "auto" switches the hop body from jnp to
 # the Pallas blockwise kernel. Measured directly at hop shapes on v5e
 # (scripts/ring_hop_bench.py, table in docs/performance.md): the kernel
-# loses below 1024 local tokens (0.78-0.96x fwd+bwd) and wins at and above
-# it (1.81x at 1024, 2.37x at 2048, 2.59x at 4096).
+# loses/ties below 1024 local tokens and wins at and above it (fwd+bwd
+# 2.22x at 1024, 2.86x at 2048, 3.21x at 4096 after the round-3 blockwise
+# tuning).
 RING_PALLAS_MIN_CHUNK = 1024
 
 

@@ -99,9 +99,12 @@ def test_combined_tp_sp(data_root, baseline, tmp_path):
 
 
 def test_combined_tp_pp_sp(data_root, baseline, tmp_path):
-    """ALL model axes at once: tp=2 × pp=2 × sp=2 (dp=1) on the 8-device
-    mesh — Megatron sharding inside GPipe stages with ring attention —
-    still matches the dp-only run."""
+    """ALL model axes requested at once: tp=2 × pp=2 × sp=2 (dp=1) on the
+    8-device mesh. Ring attention deliberately disables itself inside
+    pipeline stages (parallel/integrate.py warns; the 'seq' devices
+    replicate stage compute), so this exercises TP-inside-GPipe on the
+    4-D mesh — the point is that the combination runs through the CLI and
+    stays numerically equal to dp-only, not that sp adds speedup here."""
     run_dir = str(tmp_path / "tp_pp_sp")
     tree = _run_supervised(
         data_root, run_dir,

@@ -12,6 +12,16 @@ Forward: grid (batch·heads, q_blocks); an fori_loop over k blocks keeps
 running max ``m``, normaliser ``l``, and unnormalised accumulator in VMEM
 scratch; the log-sum-exp is written out for the backward.
 
+Block sizes default to a measured cost model (``_pick_block``): larger
+square blocks run up to 2.3× the per-FLOP throughput (v5e sweep,
+scripts/blockwise_tune.py) but pad N to a block multiple and compute the
+padding, so the auto choice minimises padded-FLOPs/throughput. Scope
+note: each grid cell keeps the full K/V row pair resident in VMEM, which
+caps N at roughly 20k tokens (bf16, D=64) on a 16 MB-VMEM chip; past
+that, sequence parallelism (:mod:`..parallel.ring_attention`) is the
+intended path — it shards K/V across devices and runs THIS kernel on
+per-device chunks that are back inside the VMEM budget.
+
 Backward (the standard two-kernel flash scheme):
 - ``delta = rowsum(dO · O)`` (tiny jnp reduction),
 - dK/dV kernel: grid over k blocks, streaming q blocks, recomputing

@@ -258,3 +258,56 @@ def test_multirun_rejected():
     )
     assert out.returncode != 0
     assert "not implemented" in (out.stderr + out.stdout)
+
+
+def test_preflight_eval_data_catches_shadowed_override(tmp_path):
+    """Overriding only data.data_dir leaves eval pointed at the preset's
+    (nonexistent) STL10 path; the preflight must catch that at startup
+    rather than at the first eval epoch."""
+    from vit_ssl_tpu.config import preflight_eval_data
+
+    cfg = compose(
+        CONFIG_DIR,
+        "dino",
+        overrides=[
+            f"data.data_dir={tmp_path}",
+            "eval.interval=8",
+        ],
+    )
+    with pytest.raises(ConfigValidationError, match="eval.* shadows data"):
+        preflight_eval_data(cfg)
+
+
+def test_preflight_eval_data_passes_with_real_paths(tmp_path):
+    from vit_ssl_tpu.config import preflight_eval_data
+
+    csv = tmp_path / "train_labels.json"
+    csv.write_text("{}")
+    cfg = compose(
+        CONFIG_DIR,
+        "dino",
+        overrides=[
+            f"data.data_dir={tmp_path}",
+            f"eval.data_dir={tmp_path}",
+            f"eval.data_csv={csv}",
+            "eval.interval=8",
+        ],
+    )
+    preflight_eval_data(cfg)  # must not raise
+
+
+def test_preflight_eval_data_noop_when_eval_disabled(tmp_path):
+    from vit_ssl_tpu.config import preflight_eval_data
+
+    cfg = compose(
+        CONFIG_DIR, "dino",
+        overrides=[f"data.data_dir={tmp_path}", "eval.interval=0"],
+    )
+    preflight_eval_data(cfg)  # disabled eval: no path checks
+
+    # supervised in-fit eval reuses precomputed preds - no data load to check
+    sup = compose(
+        CONFIG_DIR, "supervised",
+        overrides=[f"data.data_dir={tmp_path}", "eval.interval=5"],
+    )
+    preflight_eval_data(sup)

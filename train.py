@@ -103,13 +103,18 @@ def get_trainer(mode, bundle, save_path, config, train_loader, val_loader, mesh)
 def main(argv=None):
     args = parse_args(argv)
 
-    from vit_ssl_tpu.config import compose, validate_train_config
+    from vit_ssl_tpu.config import (
+        compose,
+        preflight_eval_data,
+        validate_train_config,
+    )
     from vit_ssl_tpu.data import get_transforms, prepare_dataloaders
     from vit_ssl_tpu.models.builder import build_model
     from vit_ssl_tpu.parallel import mesh_from_config
 
     config = compose(args.config_path, args.config_name, args.overrides)
     validate_train_config(config)
+    preflight_eval_data(config)
     mode = str(config["training"]["type"]).lower()
     logger.info("Starting training with mode: %s", mode)
 

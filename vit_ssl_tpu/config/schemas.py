@@ -191,6 +191,53 @@ def validate_train_config(cfg: Config) -> Config:
     return cfg
 
 
+def preflight_eval_data(cfg: Config) -> Config:
+    """Fail fast when in-training evaluation is configured but its data
+    paths don't exist.
+
+    The SimMIM/DINO trainers run the unsupervised evaluator every
+    ``eval.interval`` epochs, which loads a *labeled* dataset resolved from
+    ``eval.data_dir``/``eval.data_csv`` (falling back to ``data.*`` —
+    reference convention, `/root/reference/data/data_builder.py:32-40`).
+    Because mode presets ship an explicit ``eval.data_dir``, overriding only
+    ``data.data_dir`` on the CLI leaves eval pointed at the preset path; the
+    reference surfaces that only at the first eval epoch, killing an
+    hours-long pretraining run. Checking at startup costs nothing and turns
+    an epoch-``interval`` crash into a second-zero error.
+    """
+    mode = str(cfg.get("training", {}).get("type", "")).lower()
+    eval_cfg = cfg.get("eval", {}) or {}
+    if mode not in ("simmim", "dino"):
+        return cfg  # supervised in-fit eval reuses precomputed val preds
+    if not int(eval_cfg.get("interval", 0) or 0) or not eval_cfg.get("mode"):
+        return cfg
+
+    import os
+
+    data_cfg = cfg.get("data", {}) or {}
+    dataset = str(
+        eval_cfg.get("dataset_name") or data_cfg.get("dataset_name") or ""
+    ).lower()
+    resolved = {}
+    if dataset in ("stl10", "cifar10"):
+        resolved["data_csv"] = eval_cfg.get("data_csv") or data_cfg.get("data_csv")
+        resolved["data_dir"] = eval_cfg.get("data_dir") or data_cfg.get("data_dir")
+    elif dataset in ("imagefolder", "imagenet"):
+        resolved["data_dir"] = eval_cfg.get("data_dir") or data_cfg.get("data_dir")
+    missing = {k: v for k, v in resolved.items() if not v or not os.path.exists(v)}
+    if missing:
+        detail = ", ".join(f"eval.{k} -> {v!r}" for k, v in missing.items())
+        raise ConfigValidationError(
+            f"In-training evaluation is enabled (eval.interval="
+            f"{eval_cfg.get('interval')}, eval.mode={eval_cfg.get('mode')}) "
+            f"but its data paths do not exist: {detail}. Note that eval.* "
+            "shadows data.* for evaluation loads — if you overrode "
+            "data.data_dir/data.data_csv, override the eval.* keys too, or "
+            "set eval.interval=0 to disable in-training evaluation."
+        )
+    return cfg
+
+
 def validate_eval_config(cfg: Config) -> Config:
     """Validate a composed evaluation config (EvaluationConfig equivalent)."""
     _require(cfg, "eval", ["mode"])

@@ -126,7 +126,8 @@ def simmim_step_flops(batch: int, img: int = 192, patch: int = 16,
 # ---------------------------------------------------------------------------
 
 
-def measure_steps(step_once, state, reps: int, outer: int) -> float:
+def measure_steps(step_once, state, reps: int, outer: int,
+                  cost_out: dict | None = None) -> float:
     """Seconds per step, measured robustly against the axon tunnel.
 
     ``block_until_ready`` through the tunnel can return before the work is
@@ -135,6 +136,18 @@ def measure_steps(step_once, state, reps: int, outer: int) -> float:
     steps chained inside ONE jitted ``lax.scan`` — one dispatch, real
     data dependence — and (b) a scalar VALUE fetch as the barrier, with
     the fetch round-trip measured and subtracted.
+
+    When ``cost_out`` is a dict, it receives ``xla_flops_per_step``: the
+    compiler's own FLOP count from ``compile().cost_analysis()``. On this
+    XLA, HloCostAnalysis counts a while/scan body ONCE regardless of trip
+    count (verified on both the CPU and TPU backends: a 10-iteration scan
+    of a 128³ matmul reports one matmul's flops), and the chunk's scan body
+    is exactly one train step — so the module total ≈ one step's flops.
+    Cross-checks the analytic FLOP model: XLA reads slightly HIGH vs
+    analytic (it counts the elementwise/optimizer flops the analytic model
+    ignores). Measured on the DINO ViT-S step: XLA 4.75 vs analytic 4.67
+    TFLOP/step (+1.8%) on the pure-XLA leg, 4.80 on the Pallas-kernel leg
+    (this XLA models Mosaic custom-call flops too).
     """
     import jax
 
@@ -149,6 +162,14 @@ def measure_steps(step_once, state, reps: int, outer: int) -> float:
 
     state, loss = run_chunk(state)  # compile + warm
     float(loss)
+    if cost_out is not None:
+        try:
+            ca = run_chunk.lower(state).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            cost_out["xla_flops_per_step"] = float(ca["flops"])
+        except Exception:
+            pass  # backend without a cost model; field stays absent
     t0 = time.perf_counter()
     rtt = 0.0
     for _ in range(3):  # fetch round-trip of an already-computed scalar
@@ -161,6 +182,19 @@ def measure_steps(step_once, state, reps: int, outer: int) -> float:
     float(loss)
     dt = time.perf_counter() - t0 - rtt
     return max(dt, 1e-9) / (reps * outer)
+
+
+def _attach_hbm(rec: dict, tag: str) -> None:
+    """Record the peak HBM footprint of the leg just measured (the
+    allocator's high-water mark is cumulative per process; legs run in
+    ascending memory order so the attribution is still informative, and
+    the absolute value bounds the largest leg so far)."""
+    from vit_ssl_tpu.utils.memory import peak_hbm_gb
+
+    peak = peak_hbm_gb()
+    if peak is not None:
+        rec["peak_hbm_gb"] = round(peak, 3)
+        log(f"[{tag}] peak HBM {peak:.2f} GiB")
 
 
 def _enable_compile_cache():
@@ -248,7 +282,8 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
         return s2, out["loss"]
 
     reps, outer = (10, 1) if iters <= 3 else (40, 2)
-    sec = measure_steps(step_once, state, reps, outer)
+    cost: dict = {}
+    sec = measure_steps(step_once, state, reps, outer, cost_out=cost)
     ms = sec * 1e3
     ips = batch / sec
     mfu = flops / sec / peak_flops()
@@ -257,8 +292,14 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
         tag += f"/{variant}"
     log(f"[{tag}] {ips:.1f} img/s/chip, "
         f"{ms:.2f} ms/step, {flops/1e12:.2f} TFLOP/step, MFU {mfu:.1%}")
-    return {"images_per_sec": ips, "ms_per_step": ms, "tflop_per_step": flops / 1e12,
-            "mfu": mfu}
+    rec = {"images_per_sec": ips, "ms_per_step": ms, "tflop_per_step": flops / 1e12,
+           "mfu": mfu}
+    if "xla_flops_per_step" in cost:
+        rec["tflop_per_step_xla"] = cost["xla_flops_per_step"] / 1e12
+        log(f"[{tag}] XLA cost analysis: {rec['tflop_per_step_xla']:.2f} "
+            f"TFLOP/step (analytic {flops/1e12:.2f})")
+    _attach_hbm(rec, tag)
+    return rec
 
 
 def bench_inference(batch: int, iters: int, use_flash: bool = True,
@@ -292,8 +333,9 @@ def bench_inference(batch: int, iters: int, use_flash: bool = True,
         x = x + (0.0 * s).astype(x.dtype)
         return (p, x, acc + s), s
 
+    cost: dict = {}
     sec = measure_steps(step_once, (params, image, jnp.float32(0.0)),
-                        *((10, 1) if iters <= 3 else (40, 2)))
+                        *((10, 1) if iters <= 3 else (40, 2)), cost_out=cost)
     ms = sec * 1e3
     ips = batch / sec
     v = VARIANTS[variant]
@@ -304,8 +346,14 @@ def bench_inference(batch: int, iters: int, use_flash: bool = True,
     tag = f"ours/infer/{variant}{'' if use_flash else '/xla'}"
     log(f"[{tag}] {ips:.1f} img/s/chip, {ms:.2f} ms/batch, "
         f"{flops/1e12:.3f} TFLOP/batch, MFU {mfu:.1%}")
-    return {"images_per_sec": ips, "ms_per_step": ms,
-            "tflop_per_step": flops / 1e12, "mfu": mfu}
+    rec = {"images_per_sec": ips, "ms_per_step": ms,
+           "tflop_per_step": flops / 1e12, "mfu": mfu}
+    if "xla_flops_per_step" in cost:
+        rec["tflop_per_step_xla"] = cost["xla_flops_per_step"] / 1e12
+        log(f"[{tag}] XLA cost analysis: {rec['tflop_per_step_xla']:.3f} "
+            f"TFLOP/batch (analytic {flops/1e12:.3f})")
+    _attach_hbm(rec, tag)
+    return rec
 
 
 def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
@@ -403,18 +451,26 @@ def bench_ours(batch: int, warmup: int, iters: int, use_flash: bool = True,
 
     t0 = time.perf_counter()
     reps, outer = (3, 1) if iters <= 3 else (6, 2)
-    sec = measure_steps(step_once, state, reps, outer)
+    cost: dict = {}
+    sec = measure_steps(step_once, state, reps, outer, cost_out=cost)
     log(f"[ours] compile+measure wall: {time.perf_counter() - t0:.1f}s")
     ips = batch / sec
     ms = sec * 1e3
     flops = dino_step_flops(batch, cfg)
     mfu = flops / sec / peak_flops()
     d2h_warmup.join()
-    log(f"[ours/dino{'' if use_flash else '/xla'}"
-        f"{'' if variant == 'vit_s' else '/' + variant}] {ips:.1f} img/s/chip, "
+    tag = (f"ours/dino{'' if use_flash else '/xla'}"
+           f"{'' if variant == 'vit_s' else '/' + variant}")
+    log(f"[{tag}] {ips:.1f} img/s/chip, "
         f"{ms:.2f} ms/step, {flops/1e12:.2f} TFLOP/step, MFU {mfu:.1%}")
-    return {"images_per_sec": ips, "ms_per_step": ms,
-            "tflop_per_step": flops / 1e12, "mfu": mfu}
+    rec = {"images_per_sec": ips, "ms_per_step": ms,
+           "tflop_per_step": flops / 1e12, "mfu": mfu}
+    if "xla_flops_per_step" in cost:
+        rec["tflop_per_step_xla"] = cost["xla_flops_per_step"] / 1e12
+        log(f"[{tag}] XLA cost analysis: {rec['tflop_per_step_xla']:.2f} "
+            f"TFLOP/step (analytic {flops/1e12:.2f})")
+    _attach_hbm(rec, tag)
+    return rec
 
 
 BASELINE_CACHE = Path(__file__).resolve().parent / "BENCH_BASELINE_CACHE.json"

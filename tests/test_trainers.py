@@ -331,3 +331,32 @@ def test_eval_of_finetune_experiment_loads_trained_checkpoint(data_root, tmp_pat
         {"params": state.params}, jnp.zeros((2, 16, 16, 3))
     )
     assert logits.shape == (2, 3)
+
+
+def test_dino_step_granular_schedules(data_root, tmp_path):
+    """training.step_granular_schedules=true (paper granularity) trains
+    through the CLI; the schedule point is per-batch but coincides with the
+    reference's epoch-granular value at each epoch boundary."""
+    from vit_ssl_tpu.train.trainers.dino import DINOTrainer
+
+    # pure schedule math: within-epoch points interpolate, boundary points
+    # equal the integer epoch index the reference would use
+    pts = [DINOTrainer._schedule_point(None, 3, i, 4) for i in range(4)]
+    assert pts == [2.25, 2.5, 2.75, 3.0]
+    assert DINOTrainer._schedule_point(None, 1, 9, 10) == 1.0
+
+    run_dir = str(tmp_path / "dino_sg")
+    train_cli.main(
+        [
+            "--config-name", "dino",
+            f"data.data_dir={data_root}/unlabeled_images",
+            "data.local_img_size=8",
+            "model.output_dim=32",
+            "training.num_all_views=3",
+            "training.num_global_views=2",
+            "training.step_granular_schedules=true",
+            *_common(data_root, run_dir),
+        ]
+    )
+    meta = json.load(open(os.path.join(run_dir, "best_model", "metadata.json")))
+    assert meta["config"]["training"]["step_granular_schedules"] is True

@@ -98,3 +98,49 @@ def test_make_criterion_registry():
     cfg = Config({"training": {"criterion": {"name": "Nope"}}})
     with pytest.raises(ValueError, match="Unknown criterion"):
         make_criterion(cfg)
+
+
+def test_memory_stats_tolerant_and_formatted():
+    """CPU backend exposes no allocator stats -> None; formatting handles
+    both shapes; a fake device with stats round-trips the numbers."""
+    from vit_ssl_tpu.utils.memory import (
+        device_memory_stats,
+        format_memory_stats,
+        peak_hbm_gb,
+    )
+
+    # real (CPU) devices: either None or a dict of floats - never raises
+    stats = device_memory_stats()
+    assert stats is None or all(
+        isinstance(v, float) for v in stats.values()
+    )
+    assert isinstance(format_memory_stats(stats), str)
+    assert format_memory_stats(None) == "HBM stats unavailable"
+
+    gib = 1024 ** 3
+
+    class FakeDevice:
+        def memory_stats(self):
+            return {
+                "bytes_in_use": 2 * gib,
+                "peak_bytes_in_use": 3 * gib,
+                "bytes_limit": 16 * gib,
+                "irrelevant": 7,
+            }
+
+    fake = device_memory_stats(FakeDevice())
+    assert fake == {
+        "bytes_in_use": float(2 * gib),
+        "peak_bytes_in_use": float(3 * gib),
+        "bytes_limit": float(16 * gib),
+    }
+    assert "2.00/16.00" in format_memory_stats(fake)
+    assert "peak 3.00" in format_memory_stats(fake)
+    assert peak_hbm_gb(FakeDevice()) == pytest.approx(3.0)
+
+    class RaisingDevice:
+        def memory_stats(self):
+            raise RuntimeError("transport does not support stats")
+
+    assert device_memory_stats(RaisingDevice()) is None
+    assert peak_hbm_gb(RaisingDevice()) is None

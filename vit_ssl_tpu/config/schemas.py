@@ -94,6 +94,9 @@ class TrainingSchema:
     teacher_temp: Optional[float] = None
     teacher_temp_final: Optional[float] = None
     teacher_temp_scheduler: str = "cosine"
+    # TPU-native addition: advance temp/momentum schedules per optimizer
+    # step (the paper's granularity) instead of per epoch (the reference's)
+    step_granular_schedules: bool = False
     teacher_momentum_start: Optional[float] = None
     teacher_momentum_final: Optional[float] = None
     num_all_views: Optional[int] = None

@@ -184,7 +184,22 @@ class BaseTrainer(ABC):
     def _post_epoch_hook(self, epoch, train_metrics, val_metrics):
         pass
 
+    def _log_memory_once(self):
+        """One INFO line after the first trained epoch, when the compiled
+        step + params + optimizer state have all landed in HBM (the
+        reference has no memory observability; SURVEY.md §5)."""
+        if getattr(self, "_memory_logged", False):
+            return
+        self._memory_logged = True
+        from ...utils.memory import device_memory_stats, format_memory_stats
+
+        stats = device_memory_stats()
+        if stats:
+            logger.info("Device memory after first epoch: %s",
+                        format_memory_stats(stats))
+
     def _log_metrics(self, train_metrics, val_metrics):
+        self._log_memory_once()
         self.train_logger.log_train_epoch(**train_metrics)
         self.train_logger.log_val_epoch(**val_metrics)
 

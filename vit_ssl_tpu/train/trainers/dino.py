@@ -38,6 +38,18 @@ class DINOTrainer(BaseTrainer):
         self.t_start = float(training.teacher_temp)
         self.t_end = float(temp_final)
         self.temp_kind = str(training.get("teacher_temp_scheduler", "cosine"))
+        # Documented divergence (flag-gated, reference default off): the
+        # reference steps the teacher-momentum/temperature schedules once
+        # per EPOCH (`dino_trainer.py:17-21,80`) where the DINO paper is
+        # step-granular (SURVEY.md §7 quirk list). With
+        # training.step_granular_schedules=true both schedules advance
+        # every optimizer step along the *same* cosine curve (fractional
+        # epoch index), coinciding with the reference values at each epoch
+        # boundary. Free at runtime: the temp/momentum scalars are traced
+        # arguments of the jitted step, so per-batch values don't recompile.
+        self.step_granular = bool(
+            training.get("step_granular_schedules", False)
+        )
         self.eval_mode = self.config["eval"].get("mode")
         self.best_score = -math.inf
 
@@ -91,12 +103,24 @@ class DINOTrainer(BaseTrainer):
             cosine_momentum_schedule(epoch, self.m_start, self.m_end, self.num_epochs)
         )
 
+    def _schedule_point(self, epoch: int, idx: int, steps: int) -> float:
+        """Fractional epoch index for step-granular schedules: reaches
+        ``epoch`` exactly at the epoch's last batch, so the curve coincides
+        with the reference's epoch-granular values at every boundary."""
+        steps = max(int(steps), 1)
+        return (epoch - 1) + (idx + 1) / steps
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
         t_temp = jnp.float32(self._teacher_temp(epoch))
         t_momentum = jnp.float32(self._teacher_momentum(epoch))
+        steps_per_epoch = len(self.train_loader)
         outs = []
         for idx, batch in enumerate(self._device_batches(self.train_loader)):
+            if self.step_granular:
+                at = self._schedule_point(epoch, idx, steps_per_epoch)
+                t_temp = jnp.float32(self._teacher_temp(at))
+                t_momentum = jnp.float32(self._teacher_momentum(at))
             self.state, out = self.train_step(self.state, batch, t_temp, t_momentum)
             outs.append(out)
             self.train_logger.train_log_step(epoch, idx)

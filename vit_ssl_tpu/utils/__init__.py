@@ -6,9 +6,13 @@ from .checkpoint import (
 )
 from .history import TrainingHistory
 from .logger import Logger
+from .memory import device_memory_stats, format_memory_stats, peak_hbm_gb
 from .metrics import MetricHandler
 
 __all__ = [
+    "device_memory_stats",
+    "format_memory_stats",
+    "peak_hbm_gb",
     "checkpoint_exists",
     "load_checkpoint",
     "load_torch_state_dict",

@@ -6,7 +6,10 @@ whatever `nvidia-smi` shows next to `/root/reference/utils/train_utils.py`'s
 statistics JAX exposes via ``Device.memory_stats()`` — peak/live bytes in
 HBM. This module wraps that in a backend-tolerant helper: CPU devices (the
 virtual test mesh) and tunnel transports that don't implement the stats API
-simply report nothing instead of raising.
+simply report nothing instead of raising. (This environment's `axon`
+remote-TPU transport is one such: ``memory_stats()`` returns None there, so
+bench legs and trainer logs omit the HBM figures; on directly-attached TPU
+runtimes the numbers appear.)
 
 Used by ``bench.py`` (per-leg ``peak_hbm_gb`` so the ViT-L remat/accum
 claims carry their memory footprint) and by the trainers (one INFO line

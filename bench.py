@@ -718,9 +718,13 @@ def main(argv=None):
         # ablation: dropout 0 + deterministic teacher — makes the known
         # regularisation overhead (~14 ms of the ViT-S step) visible in
         # the recorded JSON instead of only in the builder's notes
+        # same pack_locals as the headline leg so the ablation isolates
+        # the regularisation cost alone (it used to run unpacked, mixing
+        # the packing delta into the dropout delta)
         abl = _with_retries(
             lambda: bench_ours(args.batch, warmup, iters, dropout=0.0,
-                               teacher_dropout=False),
+                               teacher_dropout=False,
+                               pack_locals=args.pack_locals),
             "ours/dino/no-dropout", required=False)
         if abl is not None:
             modes["dino_nodropout"] = abl

@@ -466,12 +466,40 @@ def write_report(results, epochs: int, path: str):
     print(f"report appended to {path}")
 
 
+def sweep(mode: str, epochs: int, torch_seeds, jax_seeds):
+    """Extended single-mode seed sweep (used for the supervised power
+    analysis in PARITY_REPORT.md — more seeds tighten the standard error
+    of the uncoupled delta)."""
+    fns = {
+        "supervised": (torch_supervised, jax_supervised),
+        "simmim": (torch_simmim, jax_simmim),
+        "dino": (torch_dino, jax_dino),
+    }
+    tfn, jfn = fns[mode]
+    data = make_dataset()
+    torch_scores = [tfn(data, epochs, s) for s in torch_seeds]
+    print(f"[{mode}/torch] {['%.4f' % s for s in torch_scores]}", flush=True)
+    ours_scores = [jfn(data, epochs, s) for s in jax_seeds]
+    print(f"[{mode}/ours]  {['%.4f' % s for s in ours_scores]}", flush=True)
+    return torch_scores, ours_scores
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--report", default=None,
                     help="append the results table to this markdown file")
+    ap.add_argument("--mode", default=None,
+                    choices=["supervised", "simmim", "dino"],
+                    help="sweep ONE mode with --torch-seeds/--jax-seeds "
+                    "(prints scores; no report table)")
+    ap.add_argument("--torch-seeds", type=int, nargs="*", default=None)
+    ap.add_argument("--jax-seeds", type=int, nargs="*", default=None)
     args = ap.parse_args(argv)
+    if args.mode:
+        return sweep(args.mode, args.epochs,
+                     args.torch_seeds or (0, 1, 2),
+                     args.jax_seeds or (42, 7, 100))
     results = run(args.epochs)
     if args.report:
         write_report(results, args.epochs, args.report)

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import select
 import sys
 import time
@@ -65,16 +66,13 @@ def load_serving_model(checkpoint_path: str):
     return fn, params, bundle.mode, config
 
 
-def preprocess(paths, img_size: int) -> np.ndarray:
-    """Decode + resize + scale to [0,1] fp32 NHWC — the evaluators' clean
-    inference pipeline (Resize + ToTensor, no augmentation)."""
-    from PIL import Image
+def make_pipeline(img_size: int):
+    """THE evaluators' clean inference pipeline (Resize + ToTensor from
+    the framework's transforms — same cv2 interpolation the checkpoint
+    was evaluated/selected with, not PIL's), no augmentation."""
+    from vit_ssl_tpu.data.transforms import Compose, Resize, ToTensor
 
-    out = np.zeros((len(paths), img_size, img_size, 3), np.float32)
-    for i, p in enumerate(paths):
-        img = Image.open(p).convert("RGB").resize((img_size, img_size))
-        out[i] = np.asarray(img, np.float32) / 255.0
-    return out
+    return Compose([Resize([img_size, img_size]), ToTensor()])
 
 
 class Server:
@@ -91,14 +89,16 @@ class Server:
         self.img = int(self.config["data"]["img_size"])
         self.batch = int(batch_size)
         self.classifier = self.mode in ("supervised", "finetune")
-        t0 = time.perf_counter()
+        self.pipeline = make_pipeline(self.img)
         zeros = np.zeros((self.batch, self.img, self.img, 3), np.float32)
-        jax.block_until_ready(self.fn(self.params, zeros))
-        compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        out = jax.block_until_ready(self.fn(self.params, zeros))
+        np.asarray(jax.device_get(self.fn(self.params, zeros)))
+        compile_s = time.perf_counter() - t0
+        # value fetch INSIDE the timed window: bare block_until_ready can
+        # return early through remote transports (CLAUDE.md timing trap)
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(self.fn(self.params, zeros)))
         step_s = time.perf_counter() - t0
-        _ = np.asarray(out)  # channel warm + value barrier
         print(
             f"[serve] mode={self.mode} img={self.img} batch={self.batch} "
             f"compile {compile_s:.1f}s, warm batch {step_s * 1e3:.1f} ms "
@@ -106,43 +106,66 @@ class Server:
             file=sys.stderr, flush=True,
         )
 
+    def _decode(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(path) as img:
+            return self.pipeline(img.convert("RGB"))
+
     def infer(self, paths):
-        """Forward a (possibly short) list of paths; returns result dicts."""
+        """Forward a (possibly short) list of paths; returns one result
+        dict per input, in order. A path that fails to decode yields an
+        ``{"path", "error"}`` record — one bad request must not take down
+        the batch (or, in --stdin mode, the server)."""
         import jax
 
-        x = preprocess(paths, self.img)
-        n = len(paths)
-        if n < self.batch:  # static shape: zero-pad, drop pad rows below
-            pad = np.zeros((self.batch - n,) + x.shape[1:], x.dtype)
-            x = np.concatenate([x, pad], axis=0)
-        out = np.asarray(
-            jax.device_get(self.fn(self.params, x)), np.float32
-        )[:n]
+        good, records = [], [None] * len(paths)
+        x = np.zeros((self.batch, self.img, self.img, 3), np.float32)
+        for i, p in enumerate(paths):
+            try:
+                x[len(good)] = self._decode(p)
+                good.append(i)
+            except Exception as e:
+                records[i] = {"path": str(p),
+                              "error": f"{type(e).__name__}: {e}"}
+        if good:
+            out = np.asarray(
+                jax.device_get(self.fn(self.params, x)), np.float32
+            )[: len(good)]
+            for row, i in enumerate(good):
+                records[i] = self._format(paths[i], out[row])
+        return records
+
+    def _format(self, path, out_row):
         if self.classifier:
-            z = out - out.max(axis=-1, keepdims=True)
-            probs = np.exp(z) / np.exp(z).sum(axis=-1, keepdims=True)
-            preds = out.argmax(axis=-1)
-            return [
-                {"path": str(p), "pred": int(c), "prob": round(float(pr), 6)}
-                for p, c, pr in zip(paths, preds, probs.max(axis=-1))
-            ]
+            z = out_row - out_row.max()
+            e = np.exp(z)
+            probs = e / e.sum()
+            return {"path": str(path), "pred": int(out_row.argmax()),
+                    "prob": round(float(probs.max()), 6)}
         if not self.embedding_values:
-            return [
-                {"path": str(p),
-                 "embedding_norm": round(float(np.linalg.norm(e)), 6)}
-                for p, e in zip(paths, out)
-            ]
-        return [
-            {"path": str(p), "embedding": [round(float(v), 6) for v in e]}
-            for p, e in zip(paths, out)
-        ]
+            return {"path": str(path),
+                    "embedding_norm": round(float(np.linalg.norm(out_row)), 6)}
+        return {"path": str(path),
+                "embedding": [round(float(v), 6) for v in out_row]}
 
 
-def run_stdin_server(server: Server, sink, max_wait_ms: float):
+def run_stdin_server(server: Server, sink, max_wait_ms: float,
+                     stdin=None):
     """Micro-batching loop: flush when the batch fills, when the oldest
-    queued request has waited ``max_wait_ms``, or at EOF."""
+    queued request has waited ``max_wait_ms``, or at EOF.
+
+    Reads the fd UNBUFFERED (``os.read`` + manual line assembly): mixing
+    ``select()`` with buffered ``readline()`` deadlocks when a client
+    writes several lines in one chunk — readline drains the kernel fd
+    into the userspace buffer, returns one line, and the next select
+    blocks on an empty fd while complete lines sit unread in the buffer.
+    """
+    fd = (stdin if stdin is not None else sys.stdin).fileno()
     pending: list = []
     oldest = None
+    buf = b""
+    eof = False
 
     def flush():
         nonlocal pending, oldest
@@ -153,24 +176,33 @@ def run_stdin_server(server: Server, sink, max_wait_ms: float):
             pending, oldest = [], None
 
     while True:
+        # drain complete lines already assembled before selecting
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            path = line.decode().strip()
+            if path:
+                pending.append(path)
+                oldest = oldest if oldest is not None else time.monotonic()
+            if len(pending) >= server.batch:
+                flush()
+        if eof:
+            tail = buf.decode().strip()  # final line without a newline
+            if tail:
+                pending.append(tail)
+            flush()
+            return
         timeout = None
         if oldest is not None:
             timeout = max(0.0, max_wait_ms / 1e3 - (time.monotonic() - oldest))
-        ready, _, _ = select.select([sys.stdin], [], [], timeout)
+        ready, _, _ = select.select([fd], [], [], timeout)
         if not ready:
             flush()  # oldest request hit its latency budget
             continue
-        line = sys.stdin.readline()
-        if not line:  # EOF
-            flush()
-            return
-        path = line.strip()
-        if not path:
+        chunk = os.read(fd, 65536)
+        if not chunk:
+            eof = True
             continue
-        pending.append(path)
-        oldest = oldest if oldest is not None else time.monotonic()
-        if len(pending) >= server.batch:
-            flush()
+        buf += chunk
 
 
 def main(argv=None):

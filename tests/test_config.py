@@ -311,3 +311,44 @@ def test_preflight_eval_data_noop_when_eval_disabled(tmp_path):
         overrides=[f"data.data_dir={tmp_path}", "eval.interval=5"],
     )
     preflight_eval_data(sup)
+
+
+def test_preflight_skips_when_eval_never_fires(tmp_path):
+    """num_epochs < interval on a fresh run: in-fit eval never executes,
+    so missing eval paths must not block the run. A resumed run continues
+    epoch numbering, so the check stays armed there."""
+    from vit_ssl_tpu.config import preflight_eval_data
+
+    cfg = compose(
+        CONFIG_DIR, "dino",
+        overrides=[f"data.data_dir={tmp_path}", "eval.interval=8",
+                   "training.num_epochs=5"],
+    )
+    preflight_eval_data(cfg)  # must not raise
+
+    resumed = compose(
+        CONFIG_DIR, "dino",
+        overrides=[f"data.data_dir={tmp_path}", "eval.interval=8",
+                   "training.num_epochs=5",
+                   "training.resume_from_checkpoint=/tmp/x/last_model"],
+    )
+    with pytest.raises(ConfigValidationError):
+        preflight_eval_data(resumed)
+
+
+def test_preflight_present_but_empty_eval_key_fails(tmp_path):
+    """Builder semantics: a PRESENT-but-empty eval.data_dir reaches the
+    dataset constructor as-is (no fallback to data.*) - preflight must
+    fail it rather than silently falling back."""
+    from vit_ssl_tpu.config import preflight_eval_data
+
+    csv = tmp_path / "train_labels.json"
+    csv.write_text("{}")
+    cfg = compose(
+        CONFIG_DIR, "dino",
+        overrides=[f"data.data_dir={tmp_path}",
+                   "eval.data_dir=", f"eval.data_csv={csv}",
+                   "eval.interval=8"],
+    )
+    with pytest.raises(ConfigValidationError):
+        preflight_eval_data(cfg)

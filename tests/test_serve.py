@@ -8,6 +8,7 @@ embedding outputs, and the stdin micro-batching loop.
 import importlib.util
 import json
 import os
+import time
 import sys
 from pathlib import Path
 
@@ -95,3 +96,46 @@ def test_stdin_microbatching(trained, tmp_path, monkeypatch):
     recs = [json.loads(l) for l in out.read_text().splitlines()]
     # one full 4-batch flush + one EOF flush of the remaining 2, in order
     assert [r["path"] for r in recs] == images[:6]
+
+
+def test_stdin_multiline_chunk_with_open_writer(trained, tmp_path):
+    """A client that writes several lines in ONE chunk and keeps the pipe
+    open must still get every response (buffered readline + select
+    deadlocks here; the server reads the fd unbuffered)."""
+    import io
+    import threading
+
+    ckpt, images = trained
+    server = serve.Server(ckpt, batch_size=4)
+    r, w = os.pipe()
+    sink = io.StringIO()
+    stdin = os.fdopen(r)
+    t = threading.Thread(
+        target=serve.run_stdin_server,
+        args=(server, sink, 50.0), kwargs={"stdin": stdin}, daemon=True,
+    )
+    t.start()
+    # 2 lines (< batch) in one chunk, writer stays open: must flush via
+    # the max-wait timeout, not EOF
+    os.write(w, ("\n".join(images[:2]) + "\n").encode())
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if len(sink.getvalue().splitlines()) >= 2:
+            break
+        time.sleep(0.05)
+    recs = [json.loads(l) for l in sink.getvalue().splitlines()]
+    assert [rec["path"] for rec in recs] == images[:2]
+    os.close(w)
+    t.join(timeout=10)
+    assert not t.is_alive()
+
+
+def test_bad_path_yields_error_record(trained):
+    """One undecodable input produces an error record, not a crash, and
+    the rest of the batch still gets real results."""
+    ckpt, images = trained
+    server = serve.Server(ckpt, batch_size=4)
+    recs = server.infer([images[0], "/nonexistent/x.png", images[1]])
+    assert recs[0]["pred"] == server.infer([images[0]])[0]["pred"]
+    assert "error" in recs[1] and "pred" not in recs[1]
+    assert recs[2]["pred"] == server.infer([images[1]])[0]["pred"]

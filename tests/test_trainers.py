@@ -360,3 +360,29 @@ def test_dino_step_granular_schedules(data_root, tmp_path):
     )
     meta = json.load(open(os.path.join(run_dir, "best_model", "metadata.json")))
     assert meta["config"]["training"]["step_granular_schedules"] is True
+
+
+def test_host_schedule_mirror_matches_jnp():
+    """The host-side (math) schedule mirror used by the step-granular
+    prefetch path must match the jnp schedule functions everywhere."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from vit_ssl_tpu.models.dino import (
+        cosine_momentum_schedule,
+        teacher_temp_schedule,
+    )
+    from vit_ssl_tpu.train.trainers.dino import DINOTrainer
+
+    for kind in ("cosine", "linear"):
+        ns = SimpleNamespace(
+            num_epochs=100, t_start=0.04, t_end=0.07,
+            m_start=0.996, m_end=1.0, temp_kind=kind,
+        )
+        for at in [0.0, 0.01, 0.5, 1.0, 37.25, 99.99, 100.0, 120.0]:
+            temp, mom = DINOTrainer._host_schedule_values(ns, at)
+            ref_t = float(teacher_temp_schedule(at, 0.04, 0.07, 100, kind))
+            ref_m = float(cosine_momentum_schedule(at, 0.996, 1.0, 100))
+            np.testing.assert_allclose(temp, ref_t, rtol=0, atol=1e-6)
+            np.testing.assert_allclose(mom, ref_m, rtol=0, atol=1e-6)

@@ -208,11 +208,19 @@ def preflight_eval_data(cfg: Config) -> Config:
     hours-long pretraining run. Checking at startup costs nothing and turns
     an epoch-``interval`` crash into a second-zero error.
     """
-    mode = str(cfg.get("training", {}).get("type", "")).lower()
+    training = cfg.get("training", {}) or {}
+    mode = str(training.get("type", "")).lower()
     eval_cfg = cfg.get("eval", {}) or {}
     if mode not in ("simmim", "dino"):
         return cfg  # supervised in-fit eval reuses precomputed val preds
-    if not int(eval_cfg.get("interval", 0) or 0) or not eval_cfg.get("mode"):
+    interval = int(eval_cfg.get("interval", 0) or 0)
+    if not interval or not eval_cfg.get("mode"):
+        return cfg
+    # In-fit eval fires on epoch % interval == 0; a fresh run of fewer
+    # epochs than the interval never reaches one. (A resumed run continues
+    # the epoch numbering, so with resume_from_checkpoint the check stays.)
+    num_epochs = int(training.get("num_epochs", 0) or 0)
+    if num_epochs < interval and not training.get("resume_from_checkpoint"):
         return cfg
 
     import os
@@ -221,12 +229,15 @@ def preflight_eval_data(cfg: Config) -> Config:
     dataset = str(
         eval_cfg.get("dataset_name") or data_cfg.get("dataset_name") or ""
     ).lower()
+    # key-absent fallback mirrors data/builder.py::_get_dataset exactly: a
+    # PRESENT-but-empty eval.data_dir reaches the dataset constructor as
+    # the empty value (and must fail here), it does not fall back to data.*
     resolved = {}
     if dataset in ("stl10", "cifar10"):
-        resolved["data_csv"] = eval_cfg.get("data_csv") or data_cfg.get("data_csv")
-        resolved["data_dir"] = eval_cfg.get("data_dir") or data_cfg.get("data_dir")
+        resolved["data_csv"] = eval_cfg.get("data_csv", data_cfg.get("data_csv"))
+        resolved["data_dir"] = eval_cfg.get("data_dir", data_cfg.get("data_dir"))
     elif dataset in ("imagefolder", "imagenet"):
-        resolved["data_dir"] = eval_cfg.get("data_dir") or data_cfg.get("data_dir")
+        resolved["data_dir"] = eval_cfg.get("data_dir", data_cfg.get("data_dir"))
     missing = {k: v for k, v in resolved.items() if not v or not os.path.exists(v)}
     if missing:
         detail = ", ".join(f"eval.{k} -> {v!r}" for k, v in missing.items())

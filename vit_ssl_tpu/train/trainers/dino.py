@@ -110,17 +110,65 @@ class DINOTrainer(BaseTrainer):
         steps = max(int(steps), 1)
         return (epoch - 1) + (idx + 1) / steps
 
+    def _host_schedule_values(self, at: float):
+        """Host-side (math, no jnp) mirror of
+        :func:`...models.dino.teacher_temp_schedule` /
+        :func:`cosine_momentum_schedule` — the per-step values are computed
+        on the host and ride the batch prefetch, so the granular path adds
+        no device dispatches or synchronous transfers to the train loop.
+        Parity with the jnp versions is asserted in tests/test_trainers.py.
+        """
+        total = self.num_epochs
+        progress = min(at / total, 1.0)
+        cos_term = math.cos(math.pi * progress)
+        if self.temp_kind == "linear":
+            temp = self.t_start + (self.t_end - self.t_start) * progress
+        else:
+            temp = self.t_end - (self.t_end - self.t_start) * 0.5 * (1.0 + cos_term)
+        if at >= total:
+            temp = self.t_end
+        mom = self.m_end - (self.m_end - self.m_start) * 0.5 * (1.0 + cos_term)
+        if at >= total:
+            mom = self.m_end
+        return float(temp), float(mom)
+
+    def _with_step_schedules(self, loader, epoch: int):
+        """Attach per-step schedule scalars to each host batch BEFORE the
+        device transfer — they ride the 3-deep ``_device_batches`` prefetch
+        like the rest of the batch (no in-loop ``device_put``; ~200 ms
+        fixed transfer latency on the axon tunnel would otherwise serialise
+        with every step)."""
+        import numpy as np
+
+        steps = len(loader)
+        for idx, batch in enumerate(loader):
+            temp, mom = self._host_schedule_values(
+                self._schedule_point(epoch, idx, steps)
+            )
+            batch = dict(batch)
+            batch["t_temp"] = np.float32(temp)
+            batch["t_momentum"] = np.float32(mom)
+            yield batch
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
+        outs = []
+        if self.step_granular:
+            for idx, batch in enumerate(
+                self._device_batches(self._with_step_schedules(
+                    self.train_loader, epoch))
+            ):
+                t_temp = batch.pop("t_temp")
+                t_momentum = batch.pop("t_momentum")
+                self.state, out = self.train_step(
+                    self.state, batch, t_temp, t_momentum
+                )
+                outs.append(out)
+                self.train_logger.train_log_step(epoch, idx)
+            return self._epoch_metrics(outs)
         t_temp = jnp.float32(self._teacher_temp(epoch))
         t_momentum = jnp.float32(self._teacher_momentum(epoch))
-        steps_per_epoch = len(self.train_loader)
-        outs = []
         for idx, batch in enumerate(self._device_batches(self.train_loader)):
-            if self.step_granular:
-                at = self._schedule_point(epoch, idx, steps_per_epoch)
-                t_temp = jnp.float32(self._teacher_temp(at))
-                t_momentum = jnp.float32(self._teacher_momentum(at))
             self.state, out = self.train_step(self.state, batch, t_temp, t_momentum)
             outs.append(out)
             self.train_logger.train_log_step(epoch, idx)

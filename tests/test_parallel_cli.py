@@ -151,3 +151,23 @@ def test_pp_must_divide_blocks(data_root, tmp_path):
             data_root, str(tmp_path / "bad_pp"),
             extra=("parallel.pp=2", "model.num_blocks=3"),
         )
+
+
+def test_pp_interleave_matches_dp_only(data_root, tmp_path):
+    """parallel.pp_interleave=2 (Megatron-style virtual stages) through
+    the real CLI: numerics equal dp-only. Needs num_blocks divisible by
+    pp x interleave, so this test runs its own 4-block baseline."""
+    blocks = ("model.num_blocks=4",)
+    base_dir = str(tmp_path / "dp4")
+    base = _run_supervised(data_root, base_dir, extra=blocks)
+    run_dir = str(tmp_path / "ppV")
+    tree = _run_supervised(
+        data_root, run_dir,
+        extra=(*blocks, "parallel.pp=2", "parallel.pp_interleave=2"),
+    )
+    # looser than plain pp: the interleaved schedule's per-chunk
+    # dynamic-index parameter gathers accumulate gradients by scatter-add
+    # in a different order than the contiguous stage scan (fp32 reduction
+    # order; the direct fwd/grad equality tests in test_pipeline.py hold
+    # at 1e-5/2e-4 on a single step)
+    _assert_params_close(base, tree, atol=5e-4)

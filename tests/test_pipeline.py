@@ -121,3 +121,71 @@ def test_pipeline_rejects_bad_microbatch(setup):
     stacked = stack_block_params(params, L)
     with pytest.raises(ValueError, match="not divisible"):
         pipeline_apply(block_fn, stacked, x, mesh, num_microbatches=3)
+
+
+@pytest.mark.parametrize(
+    "nd,pp,m,v",
+    [
+        (8, 2, 2, 2),   # dp=4 groups of batch 2, M == P
+        (2, 2, 4, 2),   # M > P: wrap-buffer path (arrivals banked M-P ticks)
+        (2, 2, 8, 2),   # M >> P
+        (4, 2, 4, 2),   # M > P composed with dp=2
+        (8, 4, 4, 1),   # plain-GPipe path for contrast
+    ],
+)
+def test_interleaved_forward_matches_sequential(setup, nd, pp, m, v):
+    """Megatron-style interleaved virtual stages: same math, V x less
+    bubble wall-time. Per-group batch (B / dp) must divide by M."""
+    block_fn, params, x, sequential = setup
+    mesh = create_pipe_mesh(nd, pp=pp)
+    stacked = stack_block_params(params, L)
+    out = pipeline_apply(block_fn, stacked, x, mesh, num_microbatches=m,
+                         interleave=v)
+    ref = sequential(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_interleaved_gradients_match_sequential(setup):
+    block_fn, params, x, sequential = setup
+    mesh = create_pipe_mesh(2, pp=2)  # dp=1: full batch through M=4 > P
+
+    def loss_pipe(params, x):
+        stacked = stack_block_params(params, L)
+        return jnp.sum(pipeline_apply(block_fn, stacked, x, mesh,
+                                      num_microbatches=4, interleave=2) ** 2)
+
+    def loss_seq(params, x):
+        return jnp.sum(sequential(params, x) ** 2)
+
+    g_pipe = jax.grad(loss_pipe)(params, x)
+    g_seq = jax.grad(loss_seq)(params, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        ),
+        g_pipe, g_seq,
+    )
+
+
+def test_interleaved_validation():
+    from vit_ssl_tpu.parallel.pipeline import pipeline_bubble_fraction
+
+    # bubble wall-time fraction shrinks with V
+    assert pipeline_bubble_fraction(4, 4) == pytest.approx(3 / 7)
+    assert pipeline_bubble_fraction(4, 4, 2) == pytest.approx(3 / 11)
+    assert pipeline_bubble_fraction(4, 4, 4) == pytest.approx(3 / 19)
+
+
+def test_interleaved_rejects_bad_shapes(setup):
+    block_fn, params, x, _ = setup
+    mesh = create_pipe_mesh(8, pp=2)
+    stacked = stack_block_params(params, L)
+    with pytest.raises(ValueError, match="divide"):
+        # L=4 layers cannot split into pp*V = 2*3 = 6 chunks
+        pipeline_apply(block_fn, stacked, x, mesh, num_microbatches=2,
+                       interleave=3)
+    with pytest.raises(ValueError, match="microbatches"):
+        # M=1 < pp=2 violates the interleaved dependency bound
+        pipeline_apply(block_fn, stacked, x, mesh, num_microbatches=1,
+                       interleave=2)

@@ -113,6 +113,7 @@ class ParallelSchema:
     tp: int = 1  # tensor parallelism (parallel/sharding_rules.py)
     pp: int = 1  # pipeline parallelism (parallel/pipeline.py + integrate.py)
     pp_microbatches: int = 0  # GPipe M (0 = pipe-axis size)
+    pp_interleave: int = 1  # virtual stages per device (Megatron-style)
     sp: int = 1  # sequence parallelism / ring attention
     remat: bool = False
     fsdp: bool = False

@@ -75,29 +75,41 @@ class PipelinedModel:
     working — only the *training* forward is rerouted.
     """
 
-    def __init__(self, module: nn.Module, mesh, num_microbatches: int = 0):
+    def __init__(self, module: nn.Module, mesh, num_microbatches: int = 0,
+                 interleave: int = 1):
         pp = int(mesh.shape.get(PIPE_AXIS, 1))
+        interleave = int(interleave or 1)
         blocks_owner = getattr(module, "backbone", module)
         num_blocks = int(blocks_owner.num_blocks)
-        if num_blocks % pp != 0:
+        if num_blocks % (pp * interleave) != 0:
             raise ValueError(
-                f"parallel.pp={pp} must divide model.num_blocks="
-                f"{num_blocks} (each stage owns a contiguous slice of "
-                "encoder blocks)"
+                f"parallel.pp={pp} × parallel.pp_interleave={interleave} "
+                f"must divide model.num_blocks={num_blocks} (each device "
+                "owns pp_interleave equal chunks of encoder blocks)"
+            )
+        if interleave > 1 and (num_microbatches or pp) < pp:
+            raise ValueError(
+                f"parallel.pp_interleave={interleave} needs "
+                f"pp_microbatches >= pp ({pp})"
             )
         object.__setattr__(self, "_module", module)
         object.__setattr__(self, "_mesh", mesh)
         object.__setattr__(self, "_m", int(num_microbatches))
+        object.__setattr__(self, "_v", interleave)
         object.__setattr__(self, "_block", _block_module(blocks_owner))
         object.__setattr__(self, "_num_blocks", num_blocks)
         object.__setattr__(
             self, "_blocks_nested", getattr(module, "backbone", None) is not None
         )
         logger.info(
-            "Pipeline parallelism: %d stages x %d blocks/stage, "
+            "Pipeline parallelism: %d stages x %d blocks/stage%s, "
             "microbatches=%s, bubble fraction=%.3f",
-            pp, num_blocks // pp, num_microbatches or pp,
-            pipeline_bubble_fraction(pp, num_microbatches),
+            pp, num_blocks // pp,
+            f" (interleave {interleave}: {interleave} virtual chunks of "
+            f"{num_blocks // (pp * interleave)} blocks per device)"
+            if interleave > 1 else "",
+            num_microbatches or pp,
+            pipeline_bubble_fraction(pp, num_microbatches, interleave),
         )
 
     def __getattr__(self, name: str) -> Any:
@@ -129,7 +141,8 @@ class PipelinedModel:
             )
 
         return pipeline_apply(
-            block_fn, carry, tokens, self._mesh, num_microbatches=self._m
+            block_fn, carry, tokens, self._mesh, num_microbatches=self._m,
+            interleave=self._v,
         )
 
     def _module_dropout(self) -> float:
@@ -187,10 +200,12 @@ def maybe_pipelined(module: nn.Module, mesh, config=None):
             "run inside pipeline stages; the 'seq' axis devices replicate "
             "the stage compute. Use pp with dp/tp instead."
         )
-    m = 0
+    m, v = 0, 1
     if config is not None:
-        m = int((config.get("parallel", {}) or {}).get("pp_microbatches", 0) or 0)
-    return PipelinedModel(module, mesh, num_microbatches=m)
+        par = config.get("parallel", {}) or {}
+        m = int(par.get("pp_microbatches", 0) or 0)
+        v = int(par.get("pp_interleave", 1) or 1)
+    return PipelinedModel(module, mesh, num_microbatches=m, interleave=v)
 
 
 __all__ = ["PipelinedModel", "maybe_pipelined"]

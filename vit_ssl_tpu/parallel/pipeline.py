@@ -108,18 +108,27 @@ def pipeline_apply(
     mesh: Mesh,
     num_microbatches: int = 0,
     data_axis: str = "data",
+    interleave: int = 1,
 ):
     """Forward ``x`` through L stacked blocks, pipelined over the mesh's
-    ``'pipe'`` axis (GPipe schedule).
+    ``'pipe'`` axis (GPipe schedule; Megatron-style interleaved virtual
+    stages with ``interleave`` > 1).
 
     Args:
       block_fn: ``(layer_params, h) -> h`` pure single-layer apply.
       stacked_params: pytree with leading layer dim L (see
-        :func:`stack_block_params`); L must divide by the pipe-axis size.
+        :func:`stack_block_params`); L must divide by the pipe-axis size
+        (by ``pipe size × interleave`` when interleaving).
       x: activations ``(B, ...)``; if the mesh has a ``data_axis``, B is
         sharded over it and the pipeline runs per data-parallel group.
       num_microbatches: GPipe microbatch count M (0 → pipe-axis size).
-        Must divide the per-group batch.
+        Must divide the per-group batch; must be ≥ the pipe size when
+        ``interleave`` > 1 (the interleaved schedule's dependency bound).
+      interleave: virtual stages per device V. The L layers split into
+        V·P chunks assigned round-robin (chunk c on device c mod P), so
+        the (P−1)-tick fill/drain costs V× less compute time: ticks go
+        from M+P−1 stage-applies to V·M+P−1 chunk-applies — idle fraction
+        (P−1)/(V·M+P−1), and each idle tick is 1/V the work.
 
     Returns activations of the final layer, same shape/sharding as ``x``.
     """
@@ -127,9 +136,15 @@ def pipeline_apply(
     pp = axes.get(PIPE_AXIS, 1)
     has_data = data_axis in axes
     m = num_microbatches or pp
+    v_count = int(interleave or 1)
     block_fn = _normalize_block_fn(block_fn)
     if pp == 1:
         return _stage_apply(block_fn, stacked_params, x, jnp.int32(0))
+    if v_count > 1:
+        return _pipeline_apply_interleaved(
+            block_fn, stacked_params, x, mesh, pp, m, v_count,
+            data_axis if has_data else None,
+        )
 
     def shard_body(local_params, x_local):
         p = jax.lax.axis_index(PIPE_AXIS)
@@ -198,16 +213,157 @@ def pipeline_apply(
     return fn(stacked_params, x)
 
 
+def _interleave_order(num_layers: int, pp: int, v_count: int):
+    """Layer permutation for interleaved sharding: chunk c = v·P + p (Lc
+    layers each) lives on device c mod P; device p's contiguous shard must
+    hold its V chunks in v-major order, so the permuted global order is
+    [chunks p=0: v=0..V−1 | p=1: v=0..V−1 | ...]."""
+    lc = num_layers // (pp * v_count)
+    order = []
+    for p in range(pp):
+        for v in range(v_count):
+            c = v * pp + p
+            order.extend(range(c * lc, (c + 1) * lc))
+    return order
+
+
+def _pipeline_apply_interleaved(
+    block_fn, stacked_params, x, mesh, pp: int, m: int, v_count: int,
+    data_axis,
+):
+    """Megatron-style interleaved schedule (all-forward form; the backward
+    pipeline falls out of autodiff like the plain schedule's).
+
+    Timetable: chunk (v, p) processes microbatch ``mb`` at tick
+    ``t = v·M + mb + p``. Devices form a full ring (wrap edge P−1 → 0);
+    a chunk's output ppermutes to the next device each tick. The wrap
+    output of chunk (v, P−1) arrives at device 0 at tick v·M+mb+P but is
+    consumed (as chunk (v+1, 0)'s input) at (v+1)·M+mb — i.e. M−P ticks
+    later — so device 0 banks wrap arrivals in an M-slot buffer keyed by
+    microbatch (slot reuse is safe: the next arrival for a slot comes
+    exactly at its consumption tick). The dependency bound is M ≥ P; at
+    M == P arrivals are consumed the same tick (buffer write precedes the
+    read below).
+    """
+    num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if num_layers % (pp * v_count) != 0:
+        raise ValueError(
+            f"interleave={v_count}: pipe size {pp} × interleave must "
+            f"divide the {num_layers} stacked layers"
+        )
+    if m < pp:
+        raise ValueError(
+            f"interleave={v_count} needs microbatches ({m}) >= pipe size "
+            f"({pp}) — the wrap activation for pass v+1 would be needed "
+            "before pass v produces it"
+        )
+    order = jnp.asarray(
+        _interleave_order(num_layers, pp, v_count), jnp.int32
+    )
+    stacked_params = jax.tree_util.tree_map(
+        lambda a: jnp.take(a, order, axis=0), stacked_params
+    )
+
+    def shard_body(local_params, x_local):
+        p = jax.lax.axis_index(PIPE_AXIS)
+        b = x_local.shape[0]
+        if b % m != 0:
+            raise ValueError(
+                f"per-group batch {b} not divisible by microbatches {m}"
+            )
+        mb = b // m
+        x_mb = x_local.reshape((m, mb) + x_local.shape[1:])
+        # local shard: V chunks, v-major (see _interleave_order)
+        local_v = jax.tree_util.tree_map(
+            lambda a: a.reshape((v_count, a.shape[0] // v_count) + a.shape[1:]),
+            local_params,
+        )
+
+        zero = jnp.zeros_like(x_mb[0])
+        ys0 = jnp.zeros_like(x_mb)
+        buf0 = jnp.zeros_like(x_mb)  # device-0 wrap-arrival bank
+        ring = [(i, (i + 1) % pp) for i in range(pp)]
+
+        def tick(carry, t):
+            prev_out, ys, buf = carry
+            recv = jax.lax.ppermute(prev_out, PIPE_AXIS, ring)
+            # bank wrap arrivals on device 0 (final-pass outputs excluded
+            # — they are already banked into ys on device P−1)
+            slot = jnp.clip(jnp.mod(t - pp, m), 0, m - 1)
+            store = (p == 0) & (t >= pp) & (t - pp < (v_count - 1) * m)
+            cur = jax.lax.dynamic_index_in_dim(buf, slot, keepdims=False)
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(store, recv, cur), slot, 0
+            )
+            # input select: device 0 injects (pass 0) or reads the bank
+            # (pass v>0); devices p>0 consume the ring arrival directly
+            rel = t - p
+            m_idx = jnp.clip(jnp.mod(rel, m), 0, m - 1)
+            v_idx = jnp.clip(rel // m, 0, v_count - 1)
+            inj = jax.lax.dynamic_index_in_dim(
+                x_mb, jnp.clip(jnp.mod(t, m), 0, m - 1), keepdims=False
+            )
+            banked = jax.lax.dynamic_index_in_dim(
+                buf, jnp.clip(jnp.mod(t, m), 0, m - 1), keepdims=False
+            )
+            h_in = jnp.where(
+                p == 0, jnp.where(t // m == 0, inj, banked), recv
+            )
+            in_window = (rel >= 0) & (rel < v_count * m)
+
+            def run(h):
+                chunk = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, v_idx, keepdims=False
+                    ),
+                    local_v,
+                )
+                return _stage_apply(block_fn, chunk, h, m_idx)
+
+            h_out = jax.lax.cond(in_window, run, lambda h: h, h_in)
+            # bank final-pass outputs on the last device
+            fin = (
+                (p == pp - 1)
+                & (rel >= (v_count - 1) * m)
+                & (rel < v_count * m)
+            )
+            idx = jnp.clip(rel - (v_count - 1) * m, 0, m - 1)
+            cur_y = jax.lax.dynamic_index_in_dim(ys, idx, keepdims=False)
+            ys = jax.lax.dynamic_update_index_in_dim(
+                ys, jnp.where(fin, h_out, cur_y), idx, 0
+            )
+            return (h_out, ys, buf), None
+
+        (_, ys, _), _ = jax.lax.scan(
+            tick, (zero, ys0, buf0), jnp.arange(v_count * m + pp - 1)
+        )
+        ys = jax.lax.psum(ys, PIPE_AXIS)
+        return ys.reshape((b,) + x_local.shape[1:])
+
+    in_specs = (
+        P(PIPE_AXIS),
+        P(data_axis) if data_axis else P(),
+    )
+    out_specs = P(data_axis) if data_axis else P()
+    fn = jax.shard_map(
+        shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(stacked_params, x)
+
+
 def pipeline_available() -> bool:
     return True
 
 
-def pipeline_bubble_fraction(pp: int, m: int) -> float:
-    """Idle fraction of the GPipe schedule: (P−1)/(M+P−1). With the
-    bubble ticks' compute skipped via ``lax.cond`` (see ``tick``), this
-    is pure pipeline idling — raise M to amortise it."""
+def pipeline_bubble_fraction(pp: int, m: int, interleave: int = 1) -> float:
+    """Idle wall-time fraction of the schedule: (P−1)/(V·M+P−1) — the
+    plain GPipe (P−1)/(M+P−1) at V=1. With the bubble ticks' compute
+    skipped via ``lax.cond`` (see ``tick``), this is pure pipeline
+    idling — raise M or the interleave factor to amortise it."""
     m = m or pp
-    return (pp - 1) / (m + pp - 1)
+    v = int(interleave or 1)
+    return (pp - 1) / (v * m + pp - 1)
 
 
 __all__ = [

@@ -165,9 +165,9 @@ def test_pp_interleave_matches_dp_only(data_root, tmp_path):
         data_root, run_dir,
         extra=(*blocks, "parallel.pp=2", "parallel.pp_interleave=2"),
     )
-    # looser than plain pp: the interleaved schedule's per-chunk
-    # dynamic-index parameter gathers accumulate gradients by scatter-add
-    # in a different order than the contiguous stage scan (fp32 reduction
-    # order; the direct fwd/grad equality tests in test_pipeline.py hold
-    # at 1e-5/2e-4 on a single step)
+    # slightly looser than plain pp at 2 blocks: a full AdamW epoch
+    # amplifies the fp32 reduction-order difference of V chunked stage
+    # scans vs one contiguous scan (measured outlier 1.2e-4 on 1/1024
+    # elements; the direct fwd/grad equality tests in test_pipeline.py
+    # hold at 1e-5/2e-4 on a single step)
     _assert_params_close(base, tree, atol=5e-4)

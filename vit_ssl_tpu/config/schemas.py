@@ -162,7 +162,7 @@ def validate_train_config(cfg: Config) -> Config:
             raise ConfigValidationError(f"Unknown metric '{name}'")
 
     parallel = cfg.get("parallel", {}) or {}
-    for key in ("tp", "pp", "sp"):
+    for key in ("tp", "pp", "sp", "pp_interleave"):
         if int(parallel.get(key, 1) or 1) < 1:
             raise ConfigValidationError(f"parallel.{key} must be >= 1")
     if bool(parallel.get("fsdp", False)) and int(parallel.get("tp", 1) or 1) > 1:

@@ -201,30 +201,25 @@ def pipeline_apply(
         ys = jax.lax.psum(ys, PIPE_AXIS)
         return ys.reshape((b,) + x_local.shape[1:])
 
+    return _shard_map_pipeline(
+        shard_body, stacked_params, x, mesh,
+        data_axis if has_data else None,
+    )
+
+
+def _shard_map_pipeline(shard_body, stacked_params, x, mesh, data_axis):
+    """Shared shard_map harness: stacked params shard over the pipe axis,
+    activations over the data axis (when the mesh has one)."""
     in_specs = (
         P(PIPE_AXIS),
-        P(data_axis) if has_data else P(),
+        P(data_axis) if data_axis else P(),
     )
-    out_specs = P(data_axis) if has_data else P()
+    out_specs = P(data_axis) if data_axis else P()
     fn = jax.shard_map(
         shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
     return fn(stacked_params, x)
-
-
-def _interleave_order(num_layers: int, pp: int, v_count: int):
-    """Layer permutation for interleaved sharding: chunk c = v·P + p (Lc
-    layers each) lives on device c mod P; device p's contiguous shard must
-    hold its V chunks in v-major order, so the permuted global order is
-    [chunks p=0: v=0..V−1 | p=1: v=0..V−1 | ...]."""
-    lc = num_layers // (pp * v_count)
-    order = []
-    for p in range(pp):
-        for v in range(v_count):
-            c = v * pp + p
-            order.extend(range(c * lc, (c + 1) * lc))
-    return order
 
 
 def _pipeline_apply_interleaved(
@@ -257,11 +252,20 @@ def _pipeline_apply_interleaved(
             f"({pp}) — the wrap activation for pass v+1 would be needed "
             "before pass v produces it"
         )
-    order = jnp.asarray(
-        _interleave_order(num_layers, pp, v_count), jnp.int32
-    )
+    # static reorder (slice + concat, NOT a traced-index gather): the
+    # transpose of static slices is exact deterministic slice-adds,
+    # whereas a gather's backward is an order-sensitive scatter-add that
+    # both costs a pass over the parameter tree and loosens gradient
+    # exactness
+    lc = num_layers // (pp * v_count)
+    chunk_order = [v * pp + p for p in range(pp) for v in range(v_count)]
     stacked_params = jax.tree_util.tree_map(
-        lambda a: jnp.take(a, order, axis=0), stacked_params
+        lambda a: jnp.concatenate(
+            [jax.lax.slice_in_dim(a, c * lc, (c + 1) * lc, axis=0)
+             for c in chunk_order],
+            axis=0,
+        ),
+        stacked_params,
     )
 
     def shard_body(local_params, x_local):
@@ -273,7 +277,8 @@ def _pipeline_apply_interleaved(
             )
         mb = b // m
         x_mb = x_local.reshape((m, mb) + x_local.shape[1:])
-        # local shard: V chunks, v-major (see _interleave_order)
+        # local shard: V chunks, v-major (see chunk_order above: device
+        # p's contiguous slice holds chunks p, P+p, ..., (V−1)P+p)
         local_v = jax.tree_util.tree_map(
             lambda a: a.reshape((v_count, a.shape[0] // v_count) + a.shape[1:]),
             local_params,
@@ -340,16 +345,7 @@ def _pipeline_apply_interleaved(
         ys = jax.lax.psum(ys, PIPE_AXIS)
         return ys.reshape((b,) + x_local.shape[1:])
 
-    in_specs = (
-        P(PIPE_AXIS),
-        P(data_axis) if data_axis else P(),
-    )
-    out_specs = P(data_axis) if data_axis else P()
-    fn = jax.shard_map(
-        shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
-    )
-    return fn(stacked_params, x)
+    return _shard_map_pipeline(shard_body, stacked_params, x, mesh, data_axis)
 
 
 def pipeline_available() -> bool:

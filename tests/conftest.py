@@ -47,3 +47,17 @@ def _reset_parallel_context():
         set_parallel_context(None)
     except Exception:
         pass
+
+
+@pytest.fixture(autouse=True)
+def _reset_default_prng_impl():
+    """train.py sets ``jax_default_prng_impl`` process-globally (fine for
+    the real CLI, which owns its process). Tests that drive the CLI
+    in-process must not leak 'rbg' into later tests whose oracles assume
+    the default threefry keys (bit us: test_moe's CLI runs flipped the
+    multihost test's in-process oracle while its worker subprocesses
+    stayed threefry)."""
+    impl = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != impl:
+        jax.config.update("jax_default_prng_impl", impl)

@@ -61,6 +61,16 @@ class ModelSchema:
     fast_dropout: bool = True  # uint16-threshold dropout (ops/dropout.py)
     patch_dropout: float = 0.0  # supervised/finetune: PatchDropout keep-subset
     dino_pack_locals: bool = False  # pack local crops block-diagonally
+    # Mixture-of-Experts FFN (ops/moe.py; supervised/finetune only).
+    # 0 = the reference's dense ViT; >0 = V-MoE-style routed experts in
+    # every moe_every-th block, shardable over parallel.ep
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
+    moe_zloss_weight: float = 1.0e-3
+    moe_router_noise: float = 0.0
 
 
 @dataclass
@@ -107,7 +117,7 @@ class TrainingSchema:
 @dataclass
 class ParallelSchema:
     # TPU-native addition: the device mesh factors as dp × tp × pp × sp
-    # (dp implicit). All four axes are training-CLI product features.
+    # × ep (dp implicit). All five axes are training-CLI product features.
     data_axis: str = "data"
     num_devices: int = -1
     tp: int = 1  # tensor parallelism (parallel/sharding_rules.py)
@@ -115,6 +125,7 @@ class ParallelSchema:
     pp_microbatches: int = 0  # GPipe M (0 = pipe-axis size)
     pp_interleave: int = 1  # virtual stages per device (Megatron-style)
     sp: int = 1  # sequence parallelism / ring attention
+    ep: int = 1  # expert parallelism for MoE FFN (model.moe_experts > 0)
     remat: bool = False
     fsdp: bool = False
 
@@ -162,12 +173,56 @@ def validate_train_config(cfg: Config) -> Config:
             raise ConfigValidationError(f"Unknown metric '{name}'")
 
     parallel = cfg.get("parallel", {}) or {}
-    for key in ("tp", "pp", "sp", "pp_interleave"):
+    for key in ("tp", "pp", "sp", "ep", "pp_interleave"):
         if int(parallel.get(key, 1) or 1) < 1:
             raise ConfigValidationError(f"parallel.{key} must be >= 1")
     if bool(parallel.get("fsdp", False)) and int(parallel.get("tp", 1) or 1) > 1:
         raise ConfigValidationError(
             "parallel.fsdp and parallel.tp>1 cannot be combined — the "
+            "parameter shardings conflict; pick one memory-sharding "
+            "strategy"
+        )
+
+    # Mixture-of-Experts (model.moe_experts, ops/moe.py)
+    model = cfg.get("model", {}) or {}
+    moe_experts = int(model.get("moe_experts", 0) or 0)
+    ep = int(parallel.get("ep", 1) or 1)
+    if moe_experts > 0:
+        if mode not in ("supervised", "finetune"):
+            raise ConfigValidationError(
+                "model.moe_experts > 0 is only supported for "
+                "supervised/finetune training (the SSL modes' parity "
+                f"contract is the reference's dense ViT); got mode={mode!r}"
+            )
+        top_k = int(model.get("moe_top_k", 2) or 2)
+        if not 1 <= top_k <= moe_experts:
+            raise ConfigValidationError(
+                f"model.moe_top_k={top_k} must be in [1, model.moe_experts="
+                f"{moe_experts}]"
+            )
+        if float(model.get("moe_capacity_factor", 1.25)) <= 0:
+            raise ConfigValidationError("model.moe_capacity_factor must be > 0")
+        if int(model.get("moe_every", 2) or 2) < 1:
+            raise ConfigValidationError("model.moe_every must be >= 1")
+        if int(parallel.get("pp", 1) or 1) > 1:
+            raise ConfigValidationError(
+                "model.moe_experts > 0 cannot be combined with parallel.pp "
+                "(the pipeline stacks homogeneous encoder blocks; MoE "
+                "blocks alternate with dense ones)"
+            )
+        if ep > 1 and moe_experts % ep != 0:
+            raise ConfigValidationError(
+                f"parallel.ep={ep} must divide model.moe_experts="
+                f"{moe_experts}"
+            )
+    if ep > 1 and moe_experts <= 0:
+        raise ConfigValidationError(
+            "parallel.ep > 1 requires model.moe_experts > 0 — there are "
+            "no expert weights to shard in a dense model"
+        )
+    if ep > 1 and bool(parallel.get("fsdp", False)):
+        raise ConfigValidationError(
+            "parallel.fsdp and parallel.ep>1 cannot be combined — the "
             "parameter shardings conflict; pick one memory-sharding "
             "strategy"
         )

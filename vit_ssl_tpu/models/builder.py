@@ -92,9 +92,18 @@ def build_model(config) -> ModelBundle:
     img = kwargs["input_shape"][1]
 
     if mode in ("supervised", "finetune"):
+        model_cfg = config["model"]
         module = ViT(
-            num_classes=int(config["model"]["num_classes"]),
-            patch_dropout=float(config["model"].get("patch_dropout", 0.0)),
+            num_classes=int(model_cfg["num_classes"]),
+            patch_dropout=float(model_cfg.get("patch_dropout", 0.0)),
+            # MoE FFN (TPU-native addition, ops/moe.py): 0 = dense reference ViT
+            moe_experts=int(model_cfg.get("moe_experts", 0) or 0),
+            moe_every=int(model_cfg.get("moe_every", 2) or 2),
+            moe_top_k=int(model_cfg.get("moe_top_k", 2) or 2),
+            moe_capacity_factor=float(model_cfg.get("moe_capacity_factor", 1.25)),
+            moe_aux_weight=float(model_cfg.get("moe_aux_weight", 0.01)),
+            moe_zloss_weight=float(model_cfg.get("moe_zloss_weight", 1e-3)),
+            moe_router_noise=float(model_cfg.get("moe_router_noise", 0.0)),
             **kwargs,
         )
 

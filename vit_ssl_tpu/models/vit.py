@@ -47,6 +47,19 @@ class ViT(nn.Module):
     init_scheme: str = "reference"
     matmul_precision: str = "default"
     remat: bool = False
+    # TPU-native addition (no reference counterpart): Mixture-of-Experts
+    # FFN blocks (ops/moe.py, V-MoE placement: every ``moe_every``-th
+    # block starting from the second — arXiv:2106.05974 uses the same
+    # alternating layout). moe_experts=0 (default) is the reference's
+    # dense ViT. Expert weights shard over the 'expert' mesh axis
+    # (``parallel.ep``).
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
+    moe_zloss_weight: float = 1e-3
+    moe_router_noise: float = 0.0
 
     def setup(self):
         # setup-style (rather than @nn.compact) so the forward decomposes
@@ -79,8 +92,16 @@ class ViT(nn.Module):
                 fast_dropout=self.fast_dropout,
                 init_scheme=self.init_scheme,
                 matmul_precision=self.matmul_precision,
+                num_experts=(
+                    self.moe_experts if self._is_moe_block(i) else 0
+                ),
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                moe_aux_weight=self.moe_aux_weight,
+                moe_zloss_weight=self.moe_zloss_weight,
+                moe_router_noise=self.moe_router_noise,
             )
-            for _ in range(self.num_blocks)
+            for i in range(self.num_blocks)
         ]
         self.classification_head = MLPHead(
             d_model=self.embed_dim,
@@ -90,6 +111,15 @@ class ViT(nn.Module):
             init_scheme=self.init_scheme,
             matmul_precision=self.matmul_precision,
         )
+
+    def _is_moe_block(self, i: int) -> bool:
+        """V-MoE alternating placement: blocks ``moe_every-1, 2·moe_every-1,
+        …`` are MoE (every other block by default, starting from the
+        second)."""
+        if self.moe_experts <= 0:
+            return False
+        every = max(1, int(self.moe_every))
+        return (i + 1) % every == 0
 
     def embed(
         self,

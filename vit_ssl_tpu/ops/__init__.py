@@ -6,6 +6,7 @@ from .flash_attention import fused_attention, flash_attention_available
 from .fused_mlp import fused_mlp
 from .initializers import InitScheme
 from .mlp_head import MLPHead
+from .moe import MoEFeedForward, expert_capacity, moe_routing
 from .precision import resolve_precision
 from .patch_embedding import (
     ConvPatchEmbed,
@@ -28,6 +29,9 @@ __all__ = [
     "fused_mlp",
     "InitScheme",
     "MLPHead",
+    "MoEFeedForward",
+    "expert_capacity",
+    "moe_routing",
     "ConvPatchEmbed",
     "DynamicPatchEmbed",
     "ManualPatchEmbed",

@@ -15,6 +15,7 @@ from flax import linen as nn
 from .attention import MultiHeadAttention
 from .dropout import Dropout
 from .feed_forward import FeedForwardBlock
+from .moe import MoEFeedForward
 
 
 class EncoderBlock(nn.Module):
@@ -29,6 +30,16 @@ class EncoderBlock(nn.Module):
     fast_dropout: bool = True
     init_scheme: str = "reference"
     matmul_precision: str = "default"
+    # TPU-native addition (no reference counterpart): num_experts > 0
+    # replaces the dense FFN with a routed Mixture-of-Experts FFN
+    # (ops/moe.py) — V-MoE-style capacity scaling, expert weights
+    # shardable over the 'expert' mesh axis (parallel.ep)
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
+    moe_zloss_weight: float = 1e-3
+    moe_router_noise: float = 0.0
 
     @nn.compact
     def __call__(
@@ -56,18 +67,37 @@ class EncoderBlock(nn.Module):
             matmul_precision=self.matmul_precision,
             name="self_attention",
         )
-        feed_forward = FeedForwardBlock(
-            d_model=self.d_model,
-            d_ff=self.mlp_dim,
-            dropout=self.dropout,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            use_fused=self.use_fused_mlp,
-            fast_dropout=self.fast_dropout,
-            init_scheme=self.init_scheme,
-            matmul_precision=self.matmul_precision,
-            name="feed_forward",
-        )
+        if self.num_experts > 0:
+            feed_forward = MoEFeedForward(
+                d_model=self.d_model,
+                d_ff=self.mlp_dim,
+                num_experts=self.num_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                aux_weight=self.moe_aux_weight,
+                zloss_weight=self.moe_zloss_weight,
+                router_noise=self.moe_router_noise,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                fast_dropout=self.fast_dropout,
+                init_scheme=self.init_scheme,
+                matmul_precision=self.matmul_precision,
+                name="moe",
+            )
+        else:
+            feed_forward = FeedForwardBlock(
+                d_model=self.d_model,
+                d_ff=self.mlp_dim,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                use_fused=self.use_fused_mlp,
+                fast_dropout=self.fast_dropout,
+                init_scheme=self.init_scheme,
+                matmul_precision=self.matmul_precision,
+                name="feed_forward",
+            )
         drop1 = Dropout(rate=self.dropout, fast=self.fast_dropout, name="drop1")
         drop2 = Dropout(rate=self.dropout, fast=self.fast_dropout, name="drop2")
 

@@ -23,7 +23,7 @@ from typing import Optional
 
 from jax.sharding import Mesh
 
-from .mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS, SEQ_AXIS
+from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS, PIPE_AXIS, SEQ_AXIS
 
 _MESH: Optional[Mesh] = None
 
@@ -57,3 +57,7 @@ def pp_size() -> int:
 
 def sp_size() -> int:
     return axis_size(SEQ_AXIS)
+
+
+def ep_size() -> int:
+    return axis_size(EXPERT_AXIS)

@@ -23,6 +23,7 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"  # tensor parallelism (sharding_rules.py)
 PIPE_AXIS = "pipe"    # pipeline parallelism (pipeline.py)
 SEQ_AXIS = "seq"      # sequence parallelism / ring attention
+EXPERT_AXIS = "expert"  # expert parallelism / MoE FFN (ops/moe.py)
 
 
 def create_mesh(num_devices: int = -1, axis_name: str = DATA_AXIS) -> Mesh:
@@ -36,9 +37,9 @@ def create_mesh(num_devices: int = -1, axis_name: str = DATA_AXIS) -> Mesh:
 
 
 def mesh_from_config(config) -> Mesh:
-    """Build the device mesh from ``parallel.{num_devices,tp,pp,sp}``.
+    """Build the device mesh from ``parallel.{num_devices,tp,pp,sp,ep}``.
 
-    All four parallelism axes are product features reachable from the
+    All five parallelism axes are product features reachable from the
     training CLI (``python train.py parallel.tp=2`` etc.):
 
     - dp (``data``): implicit — whatever devices remain after the explicit
@@ -50,6 +51,9 @@ def mesh_from_config(config) -> Mesh:
       (:mod:`.pipeline`), routed by ``parallel.integrate``.
     - sp (``seq``): ring attention over the token axis
       (:mod:`.ring_attention`), dispatched inside ``MultiHeadAttention``.
+    - ep (``expert``): expert parallelism for MoE FFN blocks
+      (``model.moe_experts`` > 0, :mod:`..ops.moe`); expert weights shard
+      over it and GSPMD inserts the dispatch/combine all-to-alls.
 
     Size-1 axes are omitted from the mesh, so the default config yields
     the round-1 1-D ``('data',)`` mesh unchanged.
@@ -58,24 +62,32 @@ def mesh_from_config(config) -> Mesh:
     tp = max(1, int(parallel.get("tp", 1) or 1))
     pp = max(1, int(parallel.get("pp", 1) or 1))
     sp = max(1, int(parallel.get("sp", 1) or 1))
+    ep = max(1, int(parallel.get("ep", 1) or 1))
     n = int(parallel.get("num_devices", -1))
     devices = jax.devices()
     if n is None or n < 0:
         n = len(devices)
     n = min(n, len(devices))
-    denom = tp * pp * sp
+    denom = tp * pp * sp * ep
     if denom == 1:
         return create_mesh(n)
     if n % denom != 0:
         raise ValueError(
-            f"parallel config needs tp·pp·sp = {denom} to divide the "
-            f"{n} visible devices (tp={tp}, pp={pp}, sp={sp}); adjust "
-            "parallel.num_devices or the axis sizes"
+            f"parallel config needs tp·pp·sp·ep = {denom} to divide the "
+            f"{n} visible devices (tp={tp}, pp={pp}, sp={sp}, ep={ep}); "
+            "adjust parallel.num_devices or the axis sizes"
         )
     dp = n // denom
-    sizes = {DATA_AXIS: dp, MODEL_AXIS: tp, PIPE_AXIS: pp, SEQ_AXIS: sp}
+    sizes = {
+        DATA_AXIS: dp,
+        MODEL_AXIS: tp,
+        PIPE_AXIS: pp,
+        SEQ_AXIS: sp,
+        EXPERT_AXIS: ep,
+    }
     axes = [DATA_AXIS] + [
-        a for a in (MODEL_AXIS, PIPE_AXIS, SEQ_AXIS) if sizes[a] > 1
+        a for a in (MODEL_AXIS, PIPE_AXIS, SEQ_AXIS, EXPERT_AXIS)
+        if sizes[a] > 1
     ]
     shape = tuple(sizes[a] for a in axes)
     return Mesh(np.asarray(devices[:n]).reshape(shape), tuple(axes))

@@ -38,6 +38,7 @@ logger = logging.getLogger(__name__)
 
 MODEL_AXIS = "model"
 DATA_AXIS = "data"
+EXPERT_AXIS = "expert"  # expert parallelism for MoE FFN (ops/moe.py)
 
 # param paths that are replicated BY DESIGN — no warning when these fall
 # through to P() (everything else with a ≥2-D kernel that lands replicated
@@ -54,9 +55,29 @@ _KNOWN_REPLICATED = (
 
 
 def tp_spec_for(path: Tuple[str, ...], value) -> P:
-    """PartitionSpec for one parameter given its flax path."""
+    """PartitionSpec for one parameter given its flax path.
+
+    Specs may name the ``'expert'`` axis as well as ``'model'``;
+    :func:`_fitted_spec` drops any axis the target mesh doesn't have, so
+    one rule table serves pure-TP, pure-EP, and combined meshes.
+    """
     name = path[-1]
     joined = "/".join(path)
+
+    # MoE FFN (ops/moe.py): expert weights (E, …) shard the expert dim
+    # over 'expert' (parallel.ep) and the hidden dim Megatron-style over
+    # 'model' when present; the fp32 router stays replicated. Must match
+    # BEFORE the dense-FFN w1/w2 rules — those specs assume 2-D kernels.
+    if "/moe" in joined or joined.startswith("moe"):
+        if name == "w1":
+            return P(EXPERT_AXIS, None, MODEL_AXIS)
+        if name == "b1":
+            return P(EXPERT_AXIS, MODEL_AXIS)
+        if name == "w2":
+            return P(EXPERT_AXIS, MODEL_AXIS, None)
+        if name == "b2":
+            return P(EXPERT_AXIS, None)
+        return P()  # router
 
     # attention projections
     if "self_attention" in joined and name == "kernel":
@@ -115,6 +136,10 @@ def _fitted_spec(str_path: Tuple[str, ...], value, mesh: Mesh, warn: bool) -> P:
     spec = tp_spec_for(str_path, value)
     fixed = []
     for dim, axis in zip(value.shape, spec + (None,) * (value.ndim - len(spec))):
+        if axis is not None and axis not in mesh.shape:
+            # that parallelism axis isn't on this mesh (e.g. an 'expert'
+            # rule under a pure-TP mesh) — the dim stays unsharded
+            axis = None
         if axis is not None and dim % mesh.shape[axis] != 0:
             logger.warning(
                 "TP rule for '%s' wants axis %r on a dim of %d, which "

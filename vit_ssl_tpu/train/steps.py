@@ -112,8 +112,40 @@ def make_supervised_steps(model, tx, donate: bool = True,
     of the UNNORMALISED weighted loss are summed and scaled once by the
     total weight, so the update equals the full-batch one bit-for-bit up
     to fp32 reduction order (tests/test_grad_accum.py).
+
+    MoE models (``model.moe_experts`` > 0, ops/moe.py): the router's
+    load-balance + z losses are sown into the 'losses' collection during
+    the forward and added to the training loss here (never to eval/val
+    metrics). Under grad_accum the aux is weighted per microbatch, and
+    routing capacity applies per microbatch — grad-accum MoE is a
+    different (valid) estimator than full-batch MoE, unlike the dense
+    path's bit-exactness.
     """
     grad_accum = max(1, int(grad_accum))
+    moe_on = int(getattr(model, "moe_experts", 0) or 0) > 0
+
+    def _forward_train(params, images, dropout_rng):
+        """Training forward → (logits, moe aux-loss scalar)."""
+        if moe_on:
+            logits, mut = model.apply(
+                {"params": params},
+                images,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+                mutable=["losses"],
+            )
+            aux = sum(
+                leaf.astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(mut.get("losses", {}))
+            )
+            return logits, jnp.asarray(aux, jnp.float32)
+        logits = model.apply(
+            {"params": params},
+            images,
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        return logits, jnp.float32(0.0)
 
     def loss_fn(params, batch, dropout_rng, aug_rng):
         images = (
@@ -121,13 +153,8 @@ def make_supervised_steps(model, tx, donate: bool = True,
             if augment_fn is not None
             else _to_float_images(batch["image"])
         )
-        logits = model.apply(
-            {"params": params},
-            images,
-            deterministic=False,
-            rngs={"dropout": dropout_rng},
-        )
-        loss = cross_entropy_loss(logits, batch["label"], batch["weight"])
+        logits, aux = _forward_train(params, images, dropout_rng)
+        loss = cross_entropy_loss(logits, batch["label"], batch["weight"]) + aux
         return loss, logits
 
     def unnorm_loss_fn(params, batch, dropout_rng, aug_rng):
@@ -137,16 +164,14 @@ def make_supervised_steps(model, tx, donate: bool = True,
             if augment_fn is not None
             else _to_float_images(batch["image"])
         )
-        logits = model.apply(
-            {"params": params},
-            images,
-            deterministic=False,
-            rngs={"dropout": dropout_rng},
-        )
+        logits, aux = _forward_train(params, images, dropout_rng)
+        w = batch["weight"].astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), batch["label"]
         )
-        return jnp.sum(ce * batch["weight"].astype(jnp.float32)), logits
+        # aux scales by the microbatch weight so the single post-accum
+        # normalisation yields the weighted-average aux across microbatches
+        return jnp.sum(ce * w) + aux * jnp.sum(w), logits
 
     def _accum_grads(state, batch):
         b = batch["weight"].shape[0]

@@ -25,7 +25,7 @@ import numpy as np
 from ...config import to_container
 from ...parallel import replicate, set_parallel_context, shard_batch
 from ...parallel.fsdp import apply_fsdp, fsdp_enabled
-from ...parallel.mesh import MODEL_AXIS
+from ...parallel.mesh import EXPERT_AXIS, MODEL_AXIS
 from ...parallel.sharding_rules import shard_params, shard_tree_tp
 from ...train.schedules import lr_schedule_from_config
 from ...train.state import create_train_state, make_optimizer
@@ -117,16 +117,19 @@ class BaseTrainer(ABC):
         """Replicated by default; FSDP/ZeRO sharding of params + Adam
         moments over the data axis with ``parallel.fsdp: true``; with
         ``parallel.tp > 1`` parameters (and their Adam moments, teacher
-        EMA included) shard Megatron-style over the ``model`` axis and
-        XLA's GSPMD partitioner inserts the per-layer collectives."""
+        EMA included) shard Megatron-style over the ``model`` axis — and
+        with ``parallel.ep > 1`` MoE expert weights shard over the
+        ``expert`` axis (same rule table, parallel/sharding_rules.py) —
+        and XLA's GSPMD partitioner inserts the per-layer collectives."""
         mesh = self.mesh
         tp = int(mesh.shape.get(MODEL_AXIS, 1)) if mesh is not None else 1
-        if tp > 1:
+        ep = int(mesh.shape.get(EXPERT_AXIS, 1)) if mesh is not None else 1
+        if tp > 1 or ep > 1:
             if fsdp_enabled(self.config):
                 raise ValueError(
-                    "parallel.fsdp and parallel.tp>1 cannot be combined "
-                    "(the param shardings conflict); pick one of the two "
-                    "memory-sharding strategies"
+                    "parallel.fsdp cannot be combined with parallel.tp>1 "
+                    "or parallel.ep>1 (the param shardings conflict); "
+                    "pick one memory-sharding strategy"
                 )
             state = replicate(state, mesh)
             state = state.replace(

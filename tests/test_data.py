@@ -263,6 +263,28 @@ def test_prepare_dataloaders_split_disjoint(data_root):
     assert len(train_idx | val_idx) == 24
 
 
+def test_label_range_preflight(data_root):
+    """A labeled dataset with more classes than model.num_classes must
+    fail at startup (out-of-range labels silently NaN the optax CE),
+    while an oversized head only warns."""
+    from vit_ssl_tpu.config.schemas import ConfigValidationError
+
+    transforms = {"train": _tensor_pipeline(), "val": _tensor_pipeline()}
+    cfg = _supervised_config(data_root)  # data_root has 3 classes
+
+    cfg["model"] = {"num_classes": 2}
+    with pytest.raises(ConfigValidationError, match="num_classes"):
+        prepare_dataloaders(cfg, transforms, "supervised")
+
+    cfg["model"] = {"num_classes": 3}
+    train_loader, _ = prepare_dataloaders(cfg, transforms, "supervised")
+    assert len(train_loader.dataset) == 18
+
+    cfg["model"] = {"num_classes": 6}  # oversized head: allowed, warns
+    train_loader, _ = prepare_dataloaders(cfg, transforms, "supervised")
+    assert len(train_loader.dataset) == 18
+
+
 def test_prepare_dataloaders_dino(data_root):
     cfg = Config(
         {

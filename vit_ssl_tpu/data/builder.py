@@ -110,6 +110,39 @@ def _get_dataset(config, mode: str, transforms: Dict):
     raise ValueError(f"Unknown mode for dataset creation: {mode}")
 
 
+def _check_label_range(config, mode: str, dataset) -> None:
+    """Fail at startup when the labeled dataset has more classes than the
+    model head. Out-of-range integer labels make
+    ``optax.softmax_cross_entropy_with_integer_labels`` return NaN
+    *silently* (torch's CE would assert on device), so a class-count
+    mismatch otherwise surfaces as an inexplicable ``Loss=nan`` with
+    healthy-looking accuracy. TPU-native addition — the reference has no
+    startup check (`/root/reference/data/data_builder.py:15-151`)."""
+    if mode not in ("supervised", "finetune"):
+        return
+    classes = getattr(dataset, "classes", None)
+    num_classes = config.get("model", {}).get("num_classes", None)
+    if classes is None or num_classes is None:
+        return
+    n_data, n_model = len(classes), int(num_classes)
+    if n_data > n_model:
+        from ..config.schemas import ConfigValidationError
+
+        raise ConfigValidationError(
+            f"Dataset at '{config.get('data', {}).get('data_dir')}' has "
+            f"{n_data} classes {sorted(map(str, classes))[:8]} but "
+            f"model.num_classes={n_model}; labels >= {n_model} would make "
+            "the cross-entropy loss silently NaN. Set model.num_classes="
+            f"{n_data} or point data.data_csv at a {n_model}-class index."
+        )
+    if n_data < n_model:
+        logger.warning(
+            "Dataset has %d classes but model.num_classes=%d — the extra "
+            "head outputs will never receive positive labels.",
+            n_data, n_model,
+        )
+
+
 def prepare_dataloaders(config, transforms, mode) -> Tuple[DataLoader, DataLoader]:
     """Single entry point for train/eval dataloaders (`data_builder.py:70`)."""
     if is_list(mode):
@@ -132,6 +165,7 @@ def prepare_dataloaders(config, transforms, mode) -> Tuple[DataLoader, DataLoade
         logger.info("Preparing dataloaders for mode: '%s'", data_loading_mode)
 
     train_full, val_full = _get_dataset(config, data_loading_mode, transforms)
+    _check_label_range(config, data_loading_mode, train_full)
 
     total = len(train_full)
     val_split = float(config.data.val_split)

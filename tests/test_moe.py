@@ -131,6 +131,54 @@ def test_identical_experts_equal_dense_ffn():
     )
 
 
+def test_grouped_routing_equals_dense_ffn():
+    """group_size > 0 (GShard's (G, S) layout) must still be an exact
+    convex combination: tied experts + ample per-group capacity == the
+    dense FFN, independent of the grouping."""
+    d, f, e = 16, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 8, d))  # T = 24
+    dense = FeedForwardBlock(d_model=d, d_ff=f, dropout=0.0)
+    for gs in (0, 8, 12):
+        moe = MoEFeedForward(
+            d_model=d, d_ff=f, num_experts=e, top_k=2,
+            capacity_factor=float(e), group_size=gs, dropout=0.0,
+        )
+        p = moe.init(jax.random.PRNGKey(1), x)["params"]
+        y_moe = moe.apply({"params": _tie_experts(p)}, x)
+        pd = {"w1": p["w1"][0], "b1": p["b1"][0],
+              "w2": p["w2"][0], "b2": p["b2"][0]}
+        y_dense = dense.apply({"params": pd}, x)
+        np.testing.assert_allclose(
+            np.asarray(y_moe), np.asarray(y_dense), atol=1e-5,
+            err_msg=f"group_size={gs}",
+        )
+
+
+def test_group_size_must_divide_tokens():
+    d, f = 8, 16
+    x = jnp.zeros((2, 5, d))  # T = 10
+    moe = MoEFeedForward(
+        d_model=d, d_ff=f, num_experts=2, group_size=4, dropout=0.0
+    )
+    with pytest.raises(ValueError, match="group_size"):
+        moe.init(jax.random.PRNGKey(0), x)
+
+
+def test_grouped_capacity_is_per_group():
+    """Per-group capacity: with G groups, an expert can seat `capacity`
+    tokens in EVERY group, so grouping changes which assignments drop."""
+    t, e = 16, 2
+    # all tokens want expert 0
+    logits = jnp.tile(jnp.array([[2.0, 0.0]], jnp.float32), (t, 1))
+    # one global group, capacity 8: 8 of 16 seated
+    c_global, aux_g = moe_routing(logits, top_k=1, capacity=8)
+    assert float(aux_g["dropped_frac"]) == pytest.approx(0.5)
+    # two groups of 8, capacity 8 each: everyone seated
+    grouped = logits.reshape(2, 8, e)
+    c2, aux2 = jax.vmap(lambda lg: moe_routing(lg, 1, 8))(grouped)
+    assert float(jnp.mean(aux2["dropped_frac"])) == 0.0
+
+
 def test_moe_eval_deterministic_and_grads_finite():
     d, f, e = 8, 16, 2
     x = jax.random.normal(jax.random.PRNGKey(0), (3, 5, d))

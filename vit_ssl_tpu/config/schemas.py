@@ -68,6 +68,7 @@ class ModelSchema:
     moe_every: int = 2
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    moe_group_size: int = 0  # routing-group tokens (0 = one global group)
     moe_aux_weight: float = 0.01
     moe_zloss_weight: float = 1.0e-3
     moe_router_noise: float = 0.0
@@ -204,6 +205,8 @@ def validate_train_config(cfg: Config) -> Config:
             raise ConfigValidationError("model.moe_capacity_factor must be > 0")
         if int(model.get("moe_every", 2) or 2) < 1:
             raise ConfigValidationError("model.moe_every must be >= 1")
+        if int(model.get("moe_group_size", 0) or 0) < 0:
+            raise ConfigValidationError("model.moe_group_size must be >= 0")
         if int(parallel.get("pp", 1) or 1) > 1:
             raise ConfigValidationError(
                 "model.moe_experts > 0 cannot be combined with parallel.pp "

@@ -101,6 +101,7 @@ def build_model(config) -> ModelBundle:
             moe_every=int(model_cfg.get("moe_every", 2) or 2),
             moe_top_k=int(model_cfg.get("moe_top_k", 2) or 2),
             moe_capacity_factor=float(model_cfg.get("moe_capacity_factor", 1.25)),
+            moe_group_size=int(model_cfg.get("moe_group_size", 0) or 0),
             moe_aux_weight=float(model_cfg.get("moe_aux_weight", 0.01)),
             moe_zloss_weight=float(model_cfg.get("moe_zloss_weight", 1e-3)),
             moe_router_noise=float(model_cfg.get("moe_router_noise", 0.0)),

@@ -57,6 +57,7 @@ class ViT(nn.Module):
     moe_every: int = 2
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    moe_group_size: int = 0  # routing-group tokens (0 = one global group)
     moe_aux_weight: float = 0.01
     moe_zloss_weight: float = 1e-3
     moe_router_noise: float = 0.0
@@ -97,6 +98,7 @@ class ViT(nn.Module):
                 ),
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
+                moe_group_size=self.moe_group_size,
                 moe_aux_weight=self.moe_aux_weight,
                 moe_zloss_weight=self.moe_zloss_weight,
                 moe_router_noise=self.moe_router_noise,

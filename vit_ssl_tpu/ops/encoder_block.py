@@ -37,6 +37,7 @@ class EncoderBlock(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    moe_group_size: int = 0
     moe_aux_weight: float = 0.01
     moe_zloss_weight: float = 1e-3
     moe_router_noise: float = 0.0
@@ -74,6 +75,7 @@ class EncoderBlock(nn.Module):
                 num_experts=self.num_experts,
                 top_k=self.moe_top_k,
                 capacity_factor=self.moe_capacity_factor,
+                group_size=self.moe_group_size,
                 aux_weight=self.moe_aux_weight,
                 zloss_weight=self.moe_zloss_weight,
                 router_noise=self.moe_router_noise,

@@ -11,14 +11,25 @@ the fifth parallelism axis next to dp/tp/pp/sp.
 
 The dispatch is the GShard dense formulation (Lepikhin et al.,
 arXiv:2006.16668), the canonical TPU MoE: routing produces a static-shape
-``combine`` tensor ``(T, E, C)`` (C = per-expert capacity), tokens move
-to expert rows via one einsum, all experts run as one batched 3-D matmul
-pair (MXU-friendly, no ragged shapes, no host control flow), and a second
-einsum combines the weighted expert outputs. Tokens beyond an expert's
-capacity are dropped for that expert (their combine weight is zero; the
-encoder residual carries them through unchanged — standard MoE
+``combine`` tensor ``(G, Tg, E, C)`` (C = per-expert capacity per group),
+tokens move to expert rows via one einsum, all experts run as one batched
+3-D matmul pair (MXU-friendly, no ragged shapes, no host control flow),
+and a second einsum combines the weighted expert outputs. Tokens beyond
+an expert's capacity are dropped for that expert (their combine weight is
+zero; the encoder residual carries them through unchanged — standard MoE
 semantics). Priority is slot-major then token-major: every token's first
 choice is seated before any token's second choice.
+
+Routing groups (``group_size`` / ``model.moe_group_size``): the dense
+dispatch is O(Tg²) per group in both FLOPs and memory (capacity C grows
+with group length: ``T·E·C = k·cf·T·Tg`` combine elements), so routing
+the whole ``B·N``-token batch as one group — fine at test scale — costs
+gigabytes at production batch sizes. GShard/V-MoE route in fixed-size
+groups for exactly this reason (GShard §3.2's 2-D ``(G, S)`` layout;
+V-MoE inherits it). ``group_size > 0`` reshapes the token stream to
+``(G, group_size)`` with independent per-group routing + capacity;
+``0`` (default) keeps one global group. Each image's tokens stay
+contiguous, so ``group_size = N`` routes per image.
 
 Two standard router losses keep the experts balanced and the logits sane,
 sown into the ``'losses'`` collection and added to the training loss by
@@ -168,6 +179,7 @@ class MoEFeedForward(nn.Module):
     num_experts: int
     top_k: int = 2
     capacity_factor: float = 1.25
+    group_size: int = 0  # routing-group length (0 = one global group)
     aux_weight: float = 0.01  # load-balance loss coefficient
     zloss_weight: float = 1e-3  # router z-loss coefficient
     router_noise: float = 0.0  # train-time logit jitter stddev
@@ -200,15 +212,28 @@ class MoEFeedForward(nn.Module):
 
         b, n, _ = x.shape
         t = b * n
-        flat = x.reshape(t, d)
+        if self.group_size > 0:
+            if t % self.group_size != 0:
+                raise ValueError(
+                    f"moe group_size={self.group_size} must divide the "
+                    f"token count B·N = {b}·{n} = {t}"
+                )
+            tg = self.group_size
+        else:
+            tg = t
+        g = t // tg
+        flat = x.reshape(g, tg, d)
 
-        logits = jnp.dot(flat.astype(jnp.float32), router)
+        logits = jnp.dot(flat.astype(jnp.float32), router)  # (G, Tg, E)
         if not deterministic and self.router_noise > 0.0:
             noise = jax.random.normal(self.make_rng("dropout"), logits.shape)
             logits = logits + noise * self.router_noise
 
-        capacity = expert_capacity(t, e, self.top_k, self.capacity_factor)
-        combine, aux = moe_routing(logits, self.top_k, capacity)
+        capacity = expert_capacity(tg, e, self.top_k, self.capacity_factor)
+        combine, aux = jax.vmap(
+            lambda lg: moe_routing(lg, self.top_k, capacity)
+        )(logits)  # combine (G, Tg, E, C); aux leaves (G,)
+        aux = jax.tree_util.tree_map(jnp.mean, aux)
         # sown scalars are summed into the training loss by the supervised
         # step; sow() is a no-op when 'losses' is not mutable (eval), and
         # XLA dead-code-eliminates the unused aux math there
@@ -226,9 +251,12 @@ class MoEFeedForward(nn.Module):
         w1c, b1c = w1.astype(self.dtype), b1.astype(self.dtype)
         w2c, b2c = w2.astype(self.dtype), b2.astype(self.dtype)
 
-        expert_in = jnp.einsum("tec,td->ecd", dispatch, xc, precision=prec)
+        expert_in = jnp.einsum("gtec,gtd->gecd", dispatch, xc, precision=prec)
         expert_in = self._constrain_expert_major(expert_in)
-        h = jnp.einsum("ecd,edf->ecf", expert_in, w1c, precision=prec) + b1c[:, None, :]
+        h = (
+            jnp.einsum("gecd,edf->gecf", expert_in, w1c, precision=prec)
+            + b1c[None, :, None, :]
+        )
         h = _gelu_exact(h)
         if (not deterministic) and self.dropout > 0.0:
             rng = self.make_rng("dropout")
@@ -238,20 +266,26 @@ class MoEFeedForward(nn.Module):
             else:
                 mask = jax.random.bernoulli(rng, keep_prob, h.shape)
             h = jnp.where(mask, h / keep_prob, 0.0).astype(self.dtype)
-        out = jnp.einsum("ecf,efd->ecd", h, w2c, precision=prec) + b2c[:, None, :]
+        out = (
+            jnp.einsum("gecf,efd->gecd", h, w2c, precision=prec)
+            + b2c[None, :, None, :]
+        )
         out = self._constrain_expert_major(out)
-        y = jnp.einsum("tec,ecd->td", combine.astype(self.dtype), out, precision=prec)
+        y = jnp.einsum(
+            "gtec,gecd->gtd", combine.astype(self.dtype), out, precision=prec
+        )
         return y.reshape(b, n, d)
 
     def _constrain_expert_major(self, arr: jnp.ndarray) -> jnp.ndarray:
-        """Pin the leading (expert) dim to the mesh's 'expert' axis when
-        the trainer published one — GSPMD then partitions the expert
-        matmuls and inserts the dispatch/combine all-to-alls."""
+        """Pin the expert dim (axis 1 of the (G, E, C, …) intermediates)
+        to the mesh's 'expert' axis when the trainer published one —
+        GSPMD then partitions the expert matmuls and inserts the
+        dispatch/combine all-to-alls."""
         from ..parallel import context as parallel_context
 
         mesh = parallel_context.current_mesh()
         if mesh is None or int(mesh.shape.get(EXPERT_AXIS, 1)) <= 1:
             return arr
         return jax.lax.with_sharding_constraint(
-            arr, NamedSharding(mesh, P(EXPERT_AXIS))
+            arr, NamedSharding(mesh, P(None, EXPERT_AXIS))
         )

@@ -111,6 +111,33 @@ def supervised_step_flops(batch: int, img: int = 192, patch: int = 16,
     return 3 * fwd
 
 
+def moe_supervised_step_flops(batch: int, img: int, patch: int,
+                              variant: str, experts: int, top_k: int = 2,
+                              cf: float = 1.25, every: int = 2,
+                              group: int = 0) -> float:
+    """Supervised step FLOPs with every ``every``-th block's FFN replaced
+    by a routed MoE (ops/moe.py): router + GShard dispatch/combine
+    einsums + the batched expert matmuls (padded to capacity — real MXU
+    work, so it belongs in the MFU denominator)."""
+    from vit_ssl_tpu.ops.moe import expert_capacity
+
+    v = VARIANTS[variant]
+    seq = (img // patch) ** 2 + 1
+    d, f, depth = v["embed_dim"], v["mlp_dim"], v["num_blocks"]
+    t = batch * seq
+    tg = group if group > 0 else t
+    g = t // tg
+    c = expert_capacity(tg, experts, top_k, cf)
+    n_moe = sum(1 for i in range(depth) if (i + 1) % max(1, every) == 0)
+    router = 2 * t * d * experts
+    dispatch = 4 * t * experts * c * d          # dispatch + combine einsums
+    expert_mm = 4 * g * experts * c * d * f     # up + down, padded slots
+    dense_mlp = 4 * t * d * f                   # what the MoE replaces
+    fwd = vit_fwd_flops(batch, seq, depth, d, f, 3 * patch * patch)
+    fwd += n_moe * (router + dispatch + expert_mm - dense_mlp)
+    return 3 * fwd
+
+
 def simmim_step_flops(batch: int, img: int = 192, patch: int = 16,
                       variant: str = "vit_s") -> float:
     v = VARIANTS[variant]
@@ -230,10 +257,13 @@ def _model_common(use_flash: bool, img: int, variant: str = "vit_s",
 def bench_mode(mode: str, batch: int, warmup: int, iters: int,
                use_flash: bool = True, variant: str = "vit_s",
                img: int = 192, grad_accum: int = 1,
-               remat: bool = False) -> dict:
+               remat: bool = False, moe_experts: int = 0) -> dict:
     """Step throughput for supervised/simmim; ``variant`` scales the
     encoder to ViT-B/L production widths (with optional grad accumulation
-    and rematerialisation for shapes past one chip's HBM)."""
+    and rematerialisation for shapes past one chip's HBM).
+    ``moe_experts`` > 0 (supervised only) swaps every 2nd block's FFN for
+    a top-2 routed MoE with per-image routing groups (ops/moe.py) —
+    ~moe_experts× FFN parameters at top-k·cf× FFN FLOPs."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -254,14 +284,23 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
     weight = jax.device_put(np.ones(batch, np.float32))
 
     if mode == "supervised":
-        model = ViT(num_classes=10, **common)
+        seq = (img // patch) ** 2 + 1
+        moe_kw = {}
+        if moe_experts > 0:
+            moe_kw = dict(moe_experts=moe_experts, moe_every=2, moe_top_k=2,
+                          moe_capacity_factor=1.25, moe_group_size=seq)
+        model = ViT(num_classes=10, **common, **moe_kw)
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)))["params"]
         state = create_train_state(params, tx, jax.random.PRNGKey(1))
         step, _ = make_supervised_steps(model, tx, grad_accum=grad_accum)
         b = {"image": image, "label": jax.device_put(rs.randint(0, 10, batch).astype(np.int32)),
              "weight": weight}
         run = lambda s: step(s, b)  # noqa: E731
-        flops = supervised_step_flops(batch, img, patch, variant)
+        if moe_experts > 0:
+            flops = moe_supervised_step_flops(
+                batch, img, patch, variant, moe_experts, group=seq)
+        else:
+            flops = supervised_step_flops(batch, img, patch, variant)
     elif mode == "simmim":
         model = SimMIMViT(mask_ratio=0.5, **common)
         variables = model.init(
@@ -290,6 +329,8 @@ def bench_mode(mode: str, batch: int, warmup: int, iters: int,
     tag = f"ours/{mode}{'' if use_flash else '/xla'}"
     if variant != "vit_s":
         tag += f"/{variant}"
+    if moe_experts > 0:
+        tag += f"/moe{moe_experts}"
     log(f"[{tag}] {ips:.1f} img/s/chip, "
         f"{ms:.2f} ms/step, {flops/1e12:.2f} TFLOP/step, MFU {mfu:.1%}")
     rec = {"images_per_sec": ips, "ms_per_step": ms, "tflop_per_step": flops / 1e12,
@@ -611,6 +652,12 @@ def main(argv=None):
     parser.add_argument("--grad-accum", type=int, default=1)
     parser.add_argument("--remat", action="store_true")
     parser.add_argument(
+        "--moe-experts", type=int, default=0,
+        help="supervised variant leg only: swap every 2nd block's FFN for "
+        "a top-2 routed MoE with this many experts (per-image routing "
+        "groups); MFU uses the MoE analytic FLOPs incl. dispatch einsums",
+    )
+    parser.add_argument(
         "--pack-locals", dest="pack_locals", action="store_true",
         default=True,
         help="dino: block-diagonal packing of the 4 local crops "
@@ -647,6 +694,9 @@ def main(argv=None):
         print(json.dumps(result), flush=True)
         return result
 
+    if args.moe_experts > 0 and not args.variant:
+        args.variant = "vit_s"  # --moe-experts alone runs the MoE leg
+
     if args.variant:
         threading.Thread(target=_warm_channel, daemon=True).start()
         if args.variant_mode == "dino":
@@ -660,18 +710,24 @@ def main(argv=None):
                 args.variant_mode, args.batch, warmup, iters,
                 variant=args.variant, img=args.img,
                 grad_accum=args.grad_accum, remat=args.remat,
+                moe_experts=args.moe_experts,
             )
         img_echo = (f"{VIT_S['img']}g/{VIT_S['local_img']}l"
                     if args.variant_mode == "dino" else args.img)
+        metric = f"{args.variant_mode}_{args.variant}"
+        if args.moe_experts > 0:
+            metric += f"_moe{args.moe_experts}"
         result = {
-            "metric": f"{args.variant_mode}_{args.variant}_throughput",
+            "metric": f"{metric}_throughput",
             "value": round(r["images_per_sec"], 2),
             "unit": "images/sec/chip",
             "vs_baseline": None,
             "ms_per_step": round(r["ms_per_step"], 2),
             "mfu": round(r["mfu"], 4),
             "config": {"img": img_echo, "batch": args.batch,
-                       "grad_accum": args.grad_accum, "remat": args.remat},
+                       "grad_accum": args.grad_accum, "remat": args.remat,
+                       **({"moe_experts": args.moe_experts}
+                          if args.moe_experts else {})},
         }
         print(json.dumps(result), flush=True)
         return result

@@ -126,6 +126,8 @@ def moe_supervised_step_flops(batch: int, img: int, patch: int,
     d, f, depth = v["embed_dim"], v["mlp_dim"], v["num_blocks"]
     t = batch * seq
     tg = group if group > 0 else t
+    if t % tg != 0:
+        raise ValueError(f"group={tg} must divide the token count {t}")
     g = t // tg
     c = expert_capacity(tg, experts, top_k, cf)
     n_moe = sum(1 for i in range(depth) if (i + 1) % max(1, every) == 0)
@@ -694,8 +696,16 @@ def main(argv=None):
         print(json.dumps(result), flush=True)
         return result
 
-    if args.moe_experts > 0 and not args.variant:
-        args.variant = "vit_s"  # --moe-experts alone runs the MoE leg
+    if args.moe_experts > 0:
+        if args.inference or args.variant_mode != "supervised":
+            parser.error(
+                "--moe-experts only applies to the supervised variant leg "
+                "(bench_mode's MoE model); combine it with "
+                "--variant-mode supervised (the default), not "
+                "dino/simmim/--inference"
+            )
+        if not args.variant:
+            args.variant = "vit_s"  # --moe-experts alone runs the MoE leg
 
     if args.variant:
         threading.Thread(target=_warm_channel, daemon=True).start()

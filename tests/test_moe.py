@@ -290,6 +290,44 @@ def test_moe_aux_included_in_train_loss_only():
     assert aux < 1.0  # …but the coefficients keep it small
 
 
+def test_sparse_upcycling_dense_to_moe():
+    """load_weights from a dense checkpoint into a MoE model replicates
+    the dense FFN into every expert (arXiv:2212.05055); with normalized
+    top-k gates + ample capacity the upcycled forward equals the dense
+    forward exactly at init."""
+    from vit_ssl_tpu.models.builder import load_weights
+
+    dense = _tiny_moe_vit(moe_experts=0)
+    moe = _tiny_moe_vit()  # 2 experts in blocks 1 and 3, cf=4.0
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 24, 24, 3))
+    dense_params = dense.init(jax.random.PRNGKey(0), x[:1])["params"]
+    moe_params = moe.init(jax.random.PRNGKey(1), x[:1])["params"]
+
+    loaded = load_weights(moe_params, dense_params)
+    blk = loaded["encoder_blocks_1"]["moe"]
+    src = dense_params["encoder_blocks_1"]["feed_forward"]
+    for name in ("w1", "b1", "w2", "b2"):
+        for e in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(blk[name][e]), np.asarray(src[name]), err_msg=name
+            )
+    # router untouched (fresh init), non-MoE blocks transfer directly
+    np.testing.assert_array_equal(
+        np.asarray(blk["router"]),
+        np.asarray(moe_params["encoder_blocks_1"]["moe"]["router"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded["encoder_blocks_0"]["feed_forward"]["w1"]),
+        np.asarray(dense_params["encoder_blocks_0"]["feed_forward"]["w1"]),
+    )
+
+    y_dense = dense.apply({"params": dense_params}, x, deterministic=True)
+    y_moe = moe.apply({"params": loaded}, x, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(y_moe), np.asarray(y_dense), atol=1e-5
+    )
+
+
 # ---------------------------------------------------------------------------
 # expert parallelism through the real CLI
 # ---------------------------------------------------------------------------

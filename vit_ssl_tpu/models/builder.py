@@ -243,9 +243,47 @@ def load_weights(target_params, pretrained_params, extended: bool = False):
 
     if extended:
         out = _extended_transfer(out, src, tgt)
+    out = _upcycle_moe(out, src, tgt)
     updated = sum(1 for k in tgt if out[k] is not tgt[k])
     logger.info("load_weights: %d/%d target tensors updated", updated, len(tgt))
     return _unflat(out)
+
+
+def _upcycle_moe(out, src, tgt):
+    """Sparse upcycling (Komatsuzaki et al., arXiv:2212.05055): when the
+    target block is a MoE FFN (``….moe.w1`` (E, d, f)) and the checkpoint
+    carries the dense FFN for the same block (``….feed_forward.w1``
+    (d, f)), every expert initializes to a copy of the dense MLP; the
+    router keeps its fresh init. With normalized top-k gates the upcycled
+    network's forward equals the dense network's exactly at init (the
+    gates form a convex combination of identical experts), so finetuning
+    starts from the pretrained model's function, not from scratch.
+    TPU-native addition — the reference has neither MoE nor this transfer."""
+    for k, v in tgt.items():
+        parts = k.split(".")
+        if len(parts) < 3 or parts[-2] != "moe":
+            continue
+        name = parts[-1]
+        if name not in ("w1", "b1", "w2", "b2"):
+            continue  # router stays fresh
+        dense_key = ".".join(parts[:-2]) + f".feed_forward.{name}"
+        dv = src.get(dense_key)
+        if dv is None:
+            continue
+        if dv.shape != v.shape[1:]:
+            logger.warning(
+                "MoE upcycle: dense '%s' %s does not match expert slice "
+                "of '%s' %s", dense_key, dv.shape, k, v.shape,
+            )
+            continue
+        out[k] = np.broadcast_to(dv, v.shape).copy()
+        if name == "w1":
+            logger.info(
+                "Upcycled dense FFN '%s' into %d experts of '%s'",
+                ".".join(parts[:-2]) + ".feed_forward", v.shape[0],
+                ".".join(parts[:-1]),
+            )
+    return out
 
 
 def _extended_transfer(out, src, tgt):

@@ -383,6 +383,47 @@ def test_ep2_cli_matches_ep1(data_root, tmp_path):
         )
 
 
+def test_tp_ep_composed_cli_matches_ep1(data_root, tmp_path):
+    """Axes compose: dp=2 × tp=2 × ep=2 through the real CLI — the MoE
+    rule table emits both 'expert' (w1 dim 0) and 'model' (w1 dim 2)
+    axes; combined-mesh numerics must equal the unsharded run."""
+    base = _run_moe_cli(data_root, str(tmp_path / "ep1"))
+    tree = _run_moe_cli(
+        data_root, str(tmp_path / "tp_ep"),
+        extra=("parallel.tp=2", "parallel.ep=2"),
+    )
+    ref_leaves = jax.tree_util.tree_leaves(base["params"])
+    leaves = jax.tree_util.tree_leaves(tree["params"])
+    assert len(ref_leaves) == len(leaves)
+    for a, b in zip(ref_leaves, leaves):
+        # composed meshes reorder the fp32 reductions (same bound as the
+        # tp×sp composition test in tests/test_parallel_cli.py)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4
+        )
+
+
+def test_tp_ep_param_specs():
+    """On a ('data','model','expert') mesh the expert kernels shard on
+    BOTH axes; dims the mesh axis size doesn't divide fall back loudly."""
+    from jax.sharding import Mesh
+    from vit_ssl_tpu.parallel.sharding_rules import shard_params
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "model", EXPERT_AXIS))
+    model = _tiny_moe_vit()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3))
+    )["params"]
+    placed = shard_params(params, mesh)
+    w1 = placed["encoder_blocks_1"]["moe"]["w1"]  # (E=2, d=32, f=64)
+    assert w1.sharding.spec[0] == EXPERT_AXIS
+    assert w1.sharding.spec[2] == "model"
+    w2 = placed["encoder_blocks_1"]["moe"]["w2"]  # (E, f, d)
+    assert w2.sharding.spec[0] == EXPERT_AXIS
+    assert w2.sharding.spec[1] == "model"
+
+
 def test_ep_mesh_and_param_sharding(data_root, tmp_path):
     """shard_params under an ('data','expert') mesh puts expert weights on
     the expert axis and leaves dense/router weights replicated."""

@@ -262,6 +262,37 @@ def test_supervised_steps_train_moe():
     assert np.isfinite(float(ev["loss"]))
 
 
+def test_moe_grad_accum_trains():
+    """grad_accum with MoE is a per-microbatch estimator (routing capacity
+    applies per microbatch — documented in make_supervised_steps); it must
+    run, stay finite, and carry the aux loss per microbatch."""
+    import optax
+
+    from vit_ssl_tpu.train.state import create_train_state
+    from vit_ssl_tpu.train.steps import make_supervised_steps
+
+    model = _tiny_moe_vit()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3))
+    )["params"]
+    tx = optax.adamw(1e-3)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step, _ = make_supervised_steps(model, tx, donate=False, grad_accum=2)
+    rs = np.random.RandomState(0)
+    batch = {
+        "image": rs.rand(8, 24, 24, 3).astype(np.float32),
+        "label": rs.randint(0, 3, 8).astype(np.int32),
+        "weight": np.ones(8, np.float32),
+    }
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    for _ in range(2):
+        state, out = step(state, batch)
+        assert np.isfinite(float(out["loss"]))
+    assert not np.allclose(
+        p0, np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    )
+
+
 def test_moe_aux_included_in_train_loss_only():
     """The train loss must carry the router losses (≈ aux_weight·balance +
     zloss_weight·zloss > 0 for any router), the eval loss must not."""
@@ -288,6 +319,19 @@ def test_moe_aux_included_in_train_loss_only():
     aux = float(out["loss"]) - float(ev["loss"])
     assert aux > 0.0  # z-loss is positive for any finite logits
     assert aux < 1.0  # …but the coefficients keep it small
+
+
+def test_torch_export_rejects_moe():
+    """The reference has no MoE, so exporting a MoE model to its torch
+    layout must fail with a named block, not a KeyError."""
+    from vit_ssl_tpu.utils.checkpoint import vit_params_to_torch
+
+    model = _tiny_moe_vit()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3))
+    )["params"]
+    with pytest.raises(ValueError, match="Mixture-of-Experts"):
+        vit_params_to_torch(params)
 
 
 def test_sparse_upcycling_dense_to_moe():

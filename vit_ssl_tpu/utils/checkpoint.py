@@ -243,6 +243,12 @@ def _our_block_count(params: Dict) -> int:
 
 def _encoder_block_to_torch(block: Dict, prefix: str) -> Dict[str, np.ndarray]:
     """Inverse of :func:`_encoder_block_from_torch`."""
+    if "moe" in block:
+        raise ValueError(
+            f"{prefix} is a Mixture-of-Experts block (model.moe_experts > "
+            "0); the reference ViT has no MoE counterpart, so only dense "
+            "models export to the torch layout"
+        )
     sd = {}
     att = block["self_attention"]
     for name in ("w_query", "w_key", "w_value", "final_linear"):

@@ -618,6 +618,39 @@ def _with_retries(fn, what: str, attempts: int = 3, required: bool = True):
     return None
 
 
+def _wait_for_backend(probe_timeout: int = 180, retries: int = 10,
+                      sleep_s: int = 120) -> None:
+    """Bounded wait for the axon tunnel: the backend can go UNAVAILABLE
+    for hours and, once broken, ``jax.devices()`` HANGS in-process rather
+    than erroring — so probe from a SUBPROCESS with a timeout and retry.
+    Never initializes JAX in this process (the probe result could go
+    stale; the real init happens in the first bench leg)."""
+    import subprocess
+
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                timeout=probe_timeout,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt:
+                    log(f"[bench] backend came back after {attempt} retries")
+                return
+            tail = (r.stderr or b"").decode(errors="replace").strip()[-200:]
+            log(f"[bench] backend probe failed (attempt {attempt + 1}/"
+                f"{retries}): {tail}")
+        except subprocess.TimeoutExpired:
+            log(f"[bench] backend probe hung >{probe_timeout}s (attempt "
+                f"{attempt + 1}/{retries}) — tunnel down, retrying in "
+                f"{sleep_s}s")
+        time.sleep(sleep_s)
+    log("[bench] backend never came back; proceeding (the run will fail "
+        "with the real error)")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--quick", action="store_true")
@@ -670,7 +703,15 @@ def main(argv=None):
         "--no-pack-locals", dest="pack_locals", action="store_false",
         help="disable locals packing (the pre-round-3 step shape)",
     )
+    parser.add_argument(
+        "--no-wait-backend", action="store_true",
+        help="skip the bounded wait for the TPU tunnel to come back "
+        "(default: probe + retry for up to ~30 min before benching)",
+    )
     args = parser.parse_args(argv)
+
+    if not args.no_wait_backend:
+        _wait_for_backend()
 
     warmup, iters = (1, 3) if args.quick else (3, 10)
     base_iters = 2 if args.quick else 3

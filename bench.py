@@ -618,7 +618,7 @@ def _with_retries(fn, what: str, attempts: int = 3, required: bool = True):
     return None
 
 
-def _wait_for_backend(probe_timeout: int = 180, retries: int = 10,
+def _wait_for_backend(probe_timeout: int = 180, retries: int = 6,
                       sleep_s: int = 120) -> None:
     """Bounded wait for the axon tunnel: the backend can go UNAVAILABLE
     for hours and, once broken, ``jax.devices()`` HANGS in-process rather
@@ -644,9 +644,9 @@ def _wait_for_backend(probe_timeout: int = 180, retries: int = 10,
                 f"{retries}): {tail}")
         except subprocess.TimeoutExpired:
             log(f"[bench] backend probe hung >{probe_timeout}s (attempt "
-                f"{attempt + 1}/{retries}) — tunnel down, retrying in "
-                f"{sleep_s}s")
-        time.sleep(sleep_s)
+                f"{attempt + 1}/{retries}) — tunnel down")
+        if attempt + 1 < retries:
+            time.sleep(sleep_s)
     log("[bench] backend never came back; proceeding (the run will fail "
         "with the real error)")
 
@@ -706,9 +706,21 @@ def main(argv=None):
     parser.add_argument(
         "--no-wait-backend", action="store_true",
         help="skip the bounded wait for the TPU tunnel to come back "
-        "(default: probe + retry for up to ~30 min before benching)",
+        "(default: subprocess probe + retry, worst case ~28 min, before "
+        "benching)",
     )
     args = parser.parse_args(argv)
+
+    if args.moe_experts > 0:
+        if args.inference or args.variant_mode != "supervised":
+            parser.error(
+                "--moe-experts only applies to the supervised variant leg "
+                "(bench_mode's MoE model); combine it with "
+                "--variant-mode supervised (the default), not "
+                "dino/simmim/--inference"
+            )
+        if not args.variant:
+            args.variant = "vit_s"  # --moe-experts alone runs the MoE leg
 
     if not args.no_wait_backend:
         _wait_for_backend()
@@ -736,17 +748,6 @@ def main(argv=None):
         }
         print(json.dumps(result), flush=True)
         return result
-
-    if args.moe_experts > 0:
-        if args.inference or args.variant_mode != "supervised":
-            parser.error(
-                "--moe-experts only applies to the supervised variant leg "
-                "(bench_mode's MoE model); combine it with "
-                "--variant-mode supervised (the default), not "
-                "dino/simmim/--inference"
-            )
-        if not args.variant:
-            args.variant = "vit_s"  # --moe-experts alone runs the MoE leg
 
     if args.variant:
         threading.Thread(target=_warm_channel, daemon=True).start()

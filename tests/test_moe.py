@@ -372,6 +372,34 @@ def test_sparse_upcycling_dense_to_moe():
     )
 
 
+def test_sparse_upcycling_from_ssl_backbone():
+    """Extended transfer (DINO/SimMIM → finetune) must upcycle too: the
+    dense FFN under the backbone prefix replicates into the experts."""
+    from vit_ssl_tpu.models.builder import load_weights
+
+    dense = _tiny_moe_vit(moe_experts=0)
+    moe = _tiny_moe_vit()
+    x0 = jnp.zeros((1, 24, 24, 3))
+    dense_params = dense.init(jax.random.PRNGKey(0), x0)["params"]
+    moe_params = moe.init(jax.random.PRNGKey(1), x0)["params"]
+
+    src = {"teacher": {"backbone": dense_params}}
+    loaded = load_weights(moe_params, src, extended=True)
+    blk = loaded["encoder_blocks_1"]["moe"]
+    ref = dense_params["encoder_blocks_1"]["feed_forward"]
+    for name in ("w1", "b1", "w2", "b2"):
+        for e in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(blk[name][e]), np.asarray(ref[name]), err_msg=name
+            )
+    # without extended, SSL-prefixed sources stay untouched (fresh init)
+    loaded_plain = load_weights(moe_params, src, extended=False)
+    np.testing.assert_array_equal(
+        np.asarray(loaded_plain["encoder_blocks_1"]["moe"]["w1"]),
+        np.asarray(moe_params["encoder_blocks_1"]["moe"]["w1"]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # expert parallelism through the real CLI
 # ---------------------------------------------------------------------------
@@ -413,12 +441,18 @@ def _run_moe_cli(data_root, run_dir, extra=()):
     return tree
 
 
-def test_ep2_cli_matches_ep1(data_root, tmp_path):
-    base = _run_moe_cli(data_root, str(tmp_path / "ep1"))
+@pytest.fixture(scope="module")
+def ep1_base(data_root, tmp_path_factory):
+    """The unsharded MoE CLI run both sharded-numerics tests compare
+    against (one full train on the 1-core host, shared)."""
+    return _run_moe_cli(data_root, str(tmp_path_factory.mktemp("ep1")))
+
+
+def test_ep2_cli_matches_ep1(data_root, ep1_base, tmp_path):
     tree = _run_moe_cli(
         data_root, str(tmp_path / "ep2"), extra=("parallel.ep=2",)
     )
-    ref_leaves = jax.tree_util.tree_leaves(base["params"])
+    ref_leaves = jax.tree_util.tree_leaves(ep1_base["params"])
     leaves = jax.tree_util.tree_leaves(tree["params"])
     assert len(ref_leaves) == len(leaves)
     for a, b in zip(ref_leaves, leaves):
@@ -427,16 +461,15 @@ def test_ep2_cli_matches_ep1(data_root, tmp_path):
         )
 
 
-def test_tp_ep_composed_cli_matches_ep1(data_root, tmp_path):
+def test_tp_ep_composed_cli_matches_ep1(data_root, ep1_base, tmp_path):
     """Axes compose: dp=2 × tp=2 × ep=2 through the real CLI — the MoE
     rule table emits both 'expert' (w1 dim 0) and 'model' (w1 dim 2)
     axes; combined-mesh numerics must equal the unsharded run."""
-    base = _run_moe_cli(data_root, str(tmp_path / "ep1"))
     tree = _run_moe_cli(
         data_root, str(tmp_path / "tp_ep"),
         extra=("parallel.tp=2", "parallel.ep=2"),
     )
-    ref_leaves = jax.tree_util.tree_leaves(base["params"])
+    ref_leaves = jax.tree_util.tree_leaves(ep1_base["params"])
     leaves = jax.tree_util.tree_leaves(tree["params"])
     assert len(ref_leaves) == len(leaves)
     for a, b in zip(ref_leaves, leaves):

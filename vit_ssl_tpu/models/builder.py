@@ -199,6 +199,7 @@ def load_weights(target_params, pretrained_params, extended: bool = False):
     src = _flat(pretrained_params)
     out = dict(tgt)
     used = set()
+    upcycle_keys = _moe_upcycle_sources(tgt)
 
     for k, v in src.items():
         if k in tgt:
@@ -238,18 +239,33 @@ def load_weights(target_params, pretrained_params, extended: bool = False):
             or k.startswith("center")
         ):
             logger.info("Skipping SSL-specific key: %s", k)
+        elif k in upcycle_keys:
+            pass  # consumed by _upcycle_moe below — not a missing key
         else:
             logger.warning("Key '%s' from checkpoint not found in the model.", k)
 
     if extended:
         out = _extended_transfer(out, src, tgt)
-    out = _upcycle_moe(out, src, tgt)
+    out = _upcycle_moe(out, src, tgt, extended=extended)
     updated = sum(1 for k in tgt if out[k] is not tgt[k])
     logger.info("load_weights: %d/%d target tensors updated", updated, len(tgt))
     return _unflat(out)
 
 
-def _upcycle_moe(out, src, tgt):
+def _moe_upcycle_sources(tgt):
+    """Dense-FFN checkpoint keys that :func:`_upcycle_moe` consumes for
+    this target (used to suppress the 'key not found' warning for them)."""
+    keys = set()
+    for k in tgt:
+        parts = k.split(".")
+        if len(parts) >= 3 and parts[-2] == "moe" and parts[-1] in (
+            "w1", "b1", "w2", "b2"
+        ):
+            keys.add(".".join(parts[:-2]) + f".feed_forward.{parts[-1]}")
+    return keys
+
+
+def _upcycle_moe(out, src, tgt, extended: bool = False):
     """Sparse upcycling (Komatsuzaki et al., arXiv:2212.05055): when the
     target block is a MoE FFN (``….moe.w1`` (E, d, f)) and the checkpoint
     carries the dense FFN for the same block (``….feed_forward.w1``
@@ -258,7 +274,14 @@ def _upcycle_moe(out, src, tgt):
     network's forward equals the dense network's exactly at init (the
     gates form a convex combination of identical experts), so finetuning
     starts from the pretrained model's function, not from scratch.
-    TPU-native addition — the reference has neither MoE nor this transfer."""
+    With ``extended`` the dense FFN is also found under the SSL backbone
+    prefixes (``teacher.backbone.`` etc.), so DINO/SimMIM →
+    MoE-finetune upcycles too. TPU-native addition — the reference has
+    neither MoE nor this transfer."""
+    prefixes = [""]
+    if extended:
+        prefixes += ["teacher.backbone.", "teacher_params.backbone.",
+                     "backbone."]
     for k, v in tgt.items():
         parts = k.split(".")
         if len(parts) < 3 or parts[-2] != "moe":
@@ -267,8 +290,17 @@ def _upcycle_moe(out, src, tgt):
         if name not in ("w1", "b1", "w2", "b2"):
             continue  # router stays fresh
         dense_key = ".".join(parts[:-2]) + f".feed_forward.{name}"
-        dv = src.get(dense_key)
+        dv = None
+        for p in prefixes:
+            dv = src.get(p + dense_key)
+            if dv is not None:
+                break
         if dv is None:
+            if name == "w1":
+                logger.warning(
+                    "MoE upcycle: no dense FFN found for '%s' — experts "
+                    "keep their fresh init", ".".join(parts[:-1]),
+                )
             continue
         if dv.shape != v.shape[1:]:
             logger.warning(

@@ -255,11 +255,40 @@ def test_supervised_steps_train_moe():
     for _ in range(3):
         state, out = train_step(state, batch)
         assert np.isfinite(float(out["loss"]))
+        # routing observability surfaces; ample capacity (cf=4) drops none
+        assert float(out["moe_dropped_frac"]) == 0.0
     assert not np.allclose(
         np.asarray(p0), np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     )
     ev = eval_step(state, batch)
     assert np.isfinite(float(ev["loss"]))
+    assert "moe_dropped_frac" not in ev
+
+
+def test_moe_dropped_frac_reports_overflow():
+    """Starved capacity must surface as a positive dropped fraction in the
+    train step's output."""
+    import optax
+
+    from vit_ssl_tpu.train.state import create_train_state
+    from vit_ssl_tpu.train.steps import make_supervised_steps
+
+    model = _tiny_moe_vit(moe_capacity_factor=0.25, moe_top_k=1)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3))
+    )["params"]
+    tx = optax.sgd(0.0)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    train_step, _ = make_supervised_steps(model, tx, donate=False)
+    rs = np.random.RandomState(0)
+    batch = {
+        "image": rs.rand(8, 24, 24, 3).astype(np.float32),
+        "label": rs.randint(0, 3, 8).astype(np.int32),
+        "weight": np.ones(8, np.float32),
+    }
+    _, out = train_step(state, batch)
+    dropped = float(out["moe_dropped_frac"])
+    assert 0.0 < dropped < 1.0
 
 
 def test_moe_grad_accum_trains():

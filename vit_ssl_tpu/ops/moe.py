@@ -150,7 +150,9 @@ def moe_routing(
     mean_prob = jnp.mean(probs, axis=0)
     balance = e * jnp.sum(assign_frac * mean_prob)
     zloss = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
-    dropped = 1.0 - kept_assignments.astype(jnp.float32) / (t * top_k)
+    dropped = jnp.clip(
+        1.0 - kept_assignments.astype(jnp.float32) / (t * top_k), 0.0, 1.0
+    )
     return combine, {"balance": balance, "zloss": zloss, "dropped_frac": dropped}
 
 
@@ -244,6 +246,10 @@ class MoEFeedForward(nn.Module):
             reduce_fn=lambda a, b: a + b,
             init_fn=lambda: jnp.float32(0.0),
         )
+        # routing observability (no gradient meaning): the fraction of
+        # top-k assignments that overflowed capacity, averaged across MoE
+        # blocks by the train step and surfaced as out['moe_dropped_frac']
+        self.sow("moe_stats", "dropped_frac", aux["dropped_frac"])
 
         prec = resolve_precision(self.matmul_precision)
         dispatch = (combine > 0).astype(self.dtype)

@@ -125,27 +125,35 @@ def make_supervised_steps(model, tx, donate: bool = True,
     moe_on = int(getattr(model, "moe_experts", 0) or 0) > 0
 
     def _forward_train(params, images, dropout_rng):
-        """Training forward → (logits, moe aux-loss scalar)."""
+        """Training forward → (logits, moe aux-loss scalar, dropped_frac
+        across MoE blocks — routing observability, no gradient meaning)."""
         if moe_on:
             logits, mut = model.apply(
                 {"params": params},
                 images,
                 deterministic=False,
                 rngs={"dropout": dropout_rng},
-                mutable=["losses"],
+                mutable=["losses", "moe_stats"],
             )
             aux = sum(
                 leaf.astype(jnp.float32)
                 for leaf in jax.tree_util.tree_leaves(mut.get("losses", {}))
             )
-            return logits, jnp.asarray(aux, jnp.float32)
+            stats = [
+                leaf.astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(mut.get("moe_stats", {}))
+            ]
+            dropped = (
+                sum(stats) / len(stats) if stats else jnp.float32(0.0)
+            )
+            return logits, jnp.asarray(aux, jnp.float32), dropped
         logits = model.apply(
             {"params": params},
             images,
             deterministic=False,
             rngs={"dropout": dropout_rng},
         )
-        return logits, jnp.float32(0.0)
+        return logits, jnp.float32(0.0), jnp.float32(0.0)
 
     def loss_fn(params, batch, dropout_rng, aug_rng):
         images = (
@@ -153,9 +161,9 @@ def make_supervised_steps(model, tx, donate: bool = True,
             if augment_fn is not None
             else _to_float_images(batch["image"])
         )
-        logits, aux = _forward_train(params, images, dropout_rng)
+        logits, aux, dropped = _forward_train(params, images, dropout_rng)
         loss = cross_entropy_loss(logits, batch["label"], batch["weight"]) + aux
-        return loss, logits
+        return loss, (logits, dropped)
 
     def unnorm_loss_fn(params, batch, dropout_rng, aug_rng):
         """Σ w·ce (no normaliser — applied once after accumulation)."""
@@ -164,7 +172,7 @@ def make_supervised_steps(model, tx, donate: bool = True,
             if augment_fn is not None
             else _to_float_images(batch["image"])
         )
-        logits, aux = _forward_train(params, images, dropout_rng)
+        logits, aux, _ = _forward_train(params, images, dropout_rng)
         w = batch["weight"].astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), batch["label"]
@@ -215,13 +223,14 @@ def make_supervised_steps(model, tx, donate: bool = True,
         return grads, loss_sum / w_total, preds.reshape(b)
 
     def train_step(state: TrainState, batch):
+        dropped = None
         if grad_accum > 1:
             grads, loss, preds = _accum_grads(state, batch)
         else:
             dropout_rng, aug_rng = state.next_rng(2)
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, dropout_rng, aug_rng
-            )
+            (loss, (logits, dropped)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, dropout_rng, aug_rng)
             preds = jnp.argmax(logits, axis=-1)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -232,6 +241,10 @@ def make_supervised_steps(model, tx, donate: bool = True,
             "labels": batch["label"],
             "weight": batch["weight"],
         }
+        if moe_on and dropped is not None:
+            # routing observability: mean overflow fraction across MoE
+            # blocks (ops/moe.py sows it; zero under ample capacity)
+            out["moe_dropped_frac"] = dropped
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )

@@ -530,6 +530,23 @@ def test_tp_ep_param_specs():
     assert w2.sharding.spec[1] == "model"
 
 
+def test_sp_ep_composed_cli_matches_ep1(data_root, ep1_base, tmp_path):
+    """sp × ep compose: ring attention (shard_map over 'seq') around the
+    expert-sharded MoE FFN; numerics must equal the unsharded run (the
+    10-token sequences divide sp=2)."""
+    tree = _run_moe_cli(
+        data_root, str(tmp_path / "sp_ep"),
+        extra=("parallel.sp=2", "parallel.ep=2"),
+    )
+    ref_leaves = jax.tree_util.tree_leaves(ep1_base["params"])
+    leaves = jax.tree_util.tree_leaves(tree["params"])
+    assert len(ref_leaves) == len(leaves)
+    for a, b in zip(ref_leaves, leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4
+        )
+
+
 def test_ep_mesh_and_param_sharding(data_root, tmp_path):
     """shard_params under an ('data','expert') mesh puts expert weights on
     the expert axis and leaves dense/router weights replicated."""

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import optax
 
 from ..models.dino import momentum_update, update_center
-from ..models.simmim import masked_l1_loss
 from ..utils.metrics import dino_distribution_stats, psnr_stats, ssim_stats
 from .state import TrainState
 

@@ -207,6 +207,26 @@ def validate_train_config(cfg: Config) -> Config:
             raise ConfigValidationError("model.moe_every must be >= 1")
         if int(model.get("moe_group_size", 0) or 0) < 0:
             raise ConfigValidationError("model.moe_group_size must be >= 0")
+        if int(model.get("moe_group_size", 0) or 0) == 0:
+            # the GShard dense dispatch is O(group²) in memory/FLOPs; one
+            # global group over B·N tokens is fine at test scale but costs
+            # gigabytes at production batch sizes (ops/moe.py docstring)
+            import logging
+
+            img = int(cfg.get("data", {}).get("img_size", 0) or 0)
+            patch = int(model.get("patch_size", 16) or 16)
+            batch = int(cfg.get("training", {}).get("batch_size", 0) or 0)
+            if img and batch:
+                seq = (img // patch) ** 2 + 1
+                tokens = batch * seq
+                if tokens > 8192:
+                    logging.getLogger(__name__).warning(
+                        "model.moe_group_size=0 routes all %d tokens "
+                        "(batch %d x seq %d) as ONE group — the dense "
+                        "dispatch tensor scales O(tokens^2); set "
+                        "model.moe_group_size=%d (per image) at this scale",
+                        tokens, batch, seq, seq,
+                    )
         if int(parallel.get("pp", 1) or 1) > 1:
             raise ConfigValidationError(
                 "model.moe_experts > 0 cannot be combined with parallel.pp "

@@ -265,6 +265,35 @@ def test_supervised_steps_train_moe():
     assert "moe_dropped_frac" not in ev
 
 
+def test_moe_with_remat():
+    """parallel.remat wraps blocks in nn.remat; the sown router losses and
+    moe_stats must survive rematerialisation (train loss still carries a
+    positive aux vs the eval loss at lr 0)."""
+    import optax
+
+    from vit_ssl_tpu.train.state import create_train_state
+    from vit_ssl_tpu.train.steps import make_supervised_steps
+
+    model = _tiny_moe_vit(remat=True)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3))
+    )["params"]
+    tx = optax.sgd(0.0)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    train_step, eval_step = make_supervised_steps(model, tx, donate=False)
+    rs = np.random.RandomState(0)
+    batch = {
+        "image": rs.rand(8, 24, 24, 3).astype(np.float32),
+        "label": rs.randint(0, 3, 8).astype(np.int32),
+        "weight": np.ones(8, np.float32),
+    }
+    _, out = train_step(state, batch)
+    ev = eval_step(state, batch)
+    aux = float(out["loss"]) - float(ev["loss"])
+    assert 0.0 < aux < 1.0  # sown aux survives remat (dropout 0, lr 0)
+    assert float(out["moe_dropped_frac"]) == 0.0
+
+
 def test_moe_dropped_frac_reports_overflow():
     """Starved capacity must surface as a positive dropped fraction in the
     train step's output."""

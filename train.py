@@ -158,7 +158,30 @@ def main(argv=None):
     if resume:
         trainer.resume_from(resume)
 
-    trainer.fit(int(config["training"]["num_epochs"]))
+    # Preemption-safe training (vit_ssl_tpu/utils/preempt.py): SIGTERM /
+    # SIGUSR1 checkpoints the mid-epoch state and exits 75 (EX_TEMPFAIL);
+    # resume_from_checkpoint=<run>/preempt_model continues bit-exactly.
+    from vit_ssl_tpu.utils.preempt import (
+        PREEMPT_EXIT_CODE,
+        PreemptionRequested,
+        install_preemption_handler,
+        uninstall_preemption_handler,
+    )
+
+    if bool(config["training"].get("preempt_checkpointing", True)):
+        install_preemption_handler()
+    try:
+        trainer.fit(int(config["training"]["num_epochs"]))
+    except PreemptionRequested as e:
+        path = trainer.save_preempt(e)
+        logger.warning(
+            "Preempted at epoch %d after %d batches; state saved to %s. "
+            "Resume with training.resume_from_checkpoint=%s",
+            e.epoch, e.batches_done, path, path,
+        )
+        raise SystemExit(PREEMPT_EXIT_CODE)
+    finally:
+        uninstall_preemption_handler()
     logger.info("Training completed for mode: %s", mode)
     return save_path
 

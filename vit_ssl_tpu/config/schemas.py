@@ -113,6 +113,9 @@ class TrainingSchema:
     num_all_views: Optional[int] = None
     num_global_views: Optional[int] = None
     teacher_dropout: bool = True  # reference quirk: teacher dropout active
+    # TPU-native addition: preemption-safe training (utils/preempt.py)
+    preempt_checkpointing: bool = True
+    fault_inject_preempt_step: int = 0  # 0 = off; N = simulate preemption
 
 
 @dataclass

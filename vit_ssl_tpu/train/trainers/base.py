@@ -33,6 +33,11 @@ from ...utils.checkpoint import checkpoint_exists, load_checkpoint, save_checkpo
 from ...utils.history import TrainingHistory
 from ...utils.logger import Logger
 from ...utils.metrics import MetricHandler
+from ...utils.preempt import (
+    PreemptionRequested,
+    preemption_requested,
+    request_preemption,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -73,6 +78,13 @@ class BaseTrainer(ABC):
         self._snapshot = None
         self._snapshot_epoch = -1
         self._save_thread = None
+        # preemption-safe training (utils/preempt.py): mid-epoch resume
+        # offset, and the deterministic fault-injection trigger
+        self._mid_epoch_skip = None
+        self._train_batches_seen = 0
+        self._fault_inject = int(
+            config["training"].get("fault_inject_preempt_step", 0) or 0
+        )
 
         # publish the mesh for trace-time parallel dispatch (sp routing in
         # MultiHeadAttention, pp routing in parallel.integrate) BEFORE the
@@ -280,6 +292,21 @@ class BaseTrainer(ABC):
         self.state = self._place_state(self.state)
         self.start_epoch = int(metadata.get("epoch", 0))
         self.best_val_loss = float(metadata.get("best_val_loss", math.inf))
+        # best-policy bookkeeping (accuracy / collapse-score keyed trainers)
+        if "best_val_acc" in metadata and hasattr(self, "best_val_acc"):
+            self.best_val_acc = float(metadata["best_val_acc"])
+        if "best_val_score" in metadata and hasattr(self, "best_score"):
+            self.best_score = float(metadata["best_val_score"])
+        if "preempt_epoch" in metadata:
+            p_epoch = int(metadata["preempt_epoch"])
+            p_done = int(metadata.get("preempt_batches_done", 0))
+            self.start_epoch = p_epoch - 1
+            self._mid_epoch_skip = (p_epoch, p_done)
+            logger.info(
+                "Resuming from a preemption checkpoint: restarting inside "
+                "epoch %d after %d already-trained batches.", p_epoch, p_done,
+            )
+            return
         logger.info("Resuming from epoch %d.", self.start_epoch + 1)
 
     def _vizualize(self):
@@ -289,21 +316,121 @@ class BaseTrainer(ABC):
     def _put(self, batch):
         return shard_batch(batch, self.mesh)
 
-    def _device_batches(self, loader, depth: int = 3):
+    def _device_batches(self, loader, depth: int = 3, train_epoch=None):
         """Pipelined host→HBM prefetch: up to ``depth`` batches' transfers
         are in flight while the current step runs (device_put is async), so
         per-transfer latency — ~200 ms on the axon tunnel regardless of
-        size — overlaps compute instead of serialising with it."""
+        size — overlaps compute instead of serialising with it.
+
+        ``train_epoch`` (the 1-based epoch, passed by train loops only)
+        enables preemption-safe training (utils/preempt.py): the iterator
+        honors a mid-epoch resume offset (skipping the already-trained
+        batches of an interrupted epoch — index order and per-sample RNG
+        are pure functions of ``(seed, epoch, index)``, so the skipped
+        prefix is identical to what the preempted process trained) and
+        raises :class:`PreemptionRequested` at a batch boundary once a
+        preemption signal (or the ``training.fault_inject_preempt_step``
+        chaos trigger) arrives. Validation loops don't pass it: a signal
+        during validation is handled at the next train epoch's first
+        boundary."""
         from collections import deque
 
+        done = 0
         it = iter(loader)
+        if train_epoch is not None:
+            done = self._consume_mid_epoch_skip(train_epoch)
+            for _ in range(done):
+                next(it, None)
+
+        def preempt_now() -> bool:
+            if train_epoch is None:
+                return False
+            if preemption_requested():
+                return True
+            if self._fault_inject and self._train_batches_seen >= self._fault_inject:
+                logger.warning(
+                    "Fault injection: simulating preemption after %d train "
+                    "batches (training.fault_inject_preempt_step)",
+                    self._train_batches_seen,
+                )
+                request_preemption()
+                return True
+            return False
+
         pending = deque()
         for batch in it:
+            if preempt_now():
+                raise PreemptionRequested(train_epoch, done)
             pending.append(self._put(batch))
             if len(pending) > depth:
                 yield pending.popleft()
+                done += 1
+                if train_epoch is not None:
+                    self._train_batches_seen += 1
         while pending:
+            if preempt_now():
+                raise PreemptionRequested(train_epoch, done)
             yield pending.popleft()
+            done += 1
+            if train_epoch is not None:
+                self._train_batches_seen += 1
+
+    def _consume_mid_epoch_skip(self, epoch: int) -> int:
+        """Number of already-trained batches to skip when resuming inside
+        an interrupted epoch (set by :meth:`resume_from` from a preemption
+        checkpoint's metadata). One-shot."""
+        if not self._mid_epoch_skip:
+            return 0
+        skip_epoch, k = self._mid_epoch_skip
+        self._mid_epoch_skip = None
+        if skip_epoch != epoch:
+            logger.warning(
+                "Mid-epoch resume offset was recorded for epoch %d but "
+                "training reached epoch %d first; training the full epoch",
+                skip_epoch, epoch,
+            )
+            return 0
+        if k:
+            logger.info(
+                "Mid-epoch resume: skipping %d already-trained batches of "
+                "epoch %d", k, epoch,
+            )
+        return k
+
+    def _best_extra(self):
+        """Best-checkpoint bookkeeping worth carrying through a preemption
+        checkpoint (each trainer keys 'best' differently; SURVEY.md §5)."""
+        extra = {}
+        if math.isfinite(self.best_val_loss):
+            extra["best_val_loss"] = float(self.best_val_loss)
+        acc = getattr(self, "best_val_acc", None)
+        if acc is not None and math.isfinite(acc):
+            extra["best_val_acc"] = float(acc)
+        score = getattr(self, "best_score", None)
+        if score is not None and math.isfinite(score):
+            extra["best_val_score"] = float(score)
+        return extra
+
+    def save_preempt(self, exc: PreemptionRequested) -> str:
+        """Synchronous mid-epoch checkpoint on preemption. The state tree
+        (params, optimizer moments, teacher EMA, center, step counter) is
+        step-granular, so saving between batches is exactly as consistent
+        as an epoch-boundary save; ``preempt_epoch``/``preempt_batches_done``
+        let :meth:`resume_from` continue bit-exactly."""
+        self._join_pending_save()
+        os.makedirs(self.save_path, exist_ok=True)
+        tree = jax.device_get(self._state_tree())
+        metadata = {
+            "epoch": exc.epoch - 1,  # fully completed epochs
+            "preempt_epoch": exc.epoch,
+            "preempt_batches_done": exc.batches_done,
+            "config": to_container(self.config),
+            "mode": self.bundle.mode,
+            **self._best_extra(),
+        }
+        path = os.path.join(self.save_path, "preempt_model")
+        save_checkpoint(path, tree, metadata)
+        return path
 
     @staticmethod
     def _fetch(scalars) -> Dict[str, np.ndarray]:

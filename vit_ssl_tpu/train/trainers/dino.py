@@ -156,7 +156,7 @@ class DINOTrainer(BaseTrainer):
         if self.step_granular:
             for idx, batch in enumerate(
                 self._device_batches(self._with_step_schedules(
-                    self.train_loader, epoch))
+                    self.train_loader, epoch), train_epoch=epoch)
             ):
                 t_temp = batch.pop("t_temp")
                 t_momentum = batch.pop("t_momentum")
@@ -168,7 +168,9 @@ class DINOTrainer(BaseTrainer):
             return self._epoch_metrics(outs)
         t_temp = jnp.float32(self._teacher_temp(epoch))
         t_momentum = jnp.float32(self._teacher_momentum(epoch))
-        for idx, batch in enumerate(self._device_batches(self.train_loader)):
+        for idx, batch in enumerate(
+            self._device_batches(self.train_loader, train_epoch=epoch)
+        ):
             self.state, out = self.train_step(self.state, batch, t_temp, t_momentum)
             outs.append(out)
             self.train_logger.train_log_step(epoch, idx)

@@ -58,7 +58,9 @@ class SimMIMTrainer(BaseTrainer):
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
         outs = []
-        for idx, batch in enumerate(self._device_batches(self.train_loader)):
+        for idx, batch in enumerate(
+            self._device_batches(self.train_loader, train_epoch=epoch)
+        ):
             self.state, out = self.train_step(self.state, batch)
             outs.append(out)
             self.train_logger.train_log_step(epoch, idx)

@@ -242,6 +242,92 @@ def test_mismatched_skip_epoch_is_dropped():
     assert BaseTrainer._consume_mid_epoch_skip(d, 2) == 0  # one-shot
 
 
+def test_elastic_device_count_resume(data_root, tmp_path):
+    """Elastic world-size recovery: a preemption checkpoint written on a
+    1-device mesh resumes on a 4-device mesh (the post-reclaim slice need
+    not match the original). Checkpoints are host pytrees and
+    ``_place_state`` re-shards onto whatever mesh exists at resume; dp only
+    shards the global batch, so the trajectory matches a fixed-4-device
+    oracle (allclose: the 1-vs-4-device reduction-order difference in the
+    pre-preemption epoch is ~1e-7 and Adam's normalization amplifies it
+    over the resumed epoch — observed max rel diff 2.7e-4)."""
+    oracle_dir = str(tmp_path / "oracle")
+    train_cli.main(
+        _sup_args(
+            data_root, oracle_dir,
+            ["training.num_epochs=2", "parallel.num_devices=4"],
+        )
+    )
+    oracle_tree, _ = load_checkpoint(os.path.join(oracle_dir, "last_model"))
+
+    pre_dir = str(tmp_path / "elastic_world")
+    with pytest.raises(SystemExit):
+        train_cli.main(
+            _sup_args(
+                data_root, pre_dir,
+                ["training.num_epochs=2", "parallel.num_devices=1",
+                 "training.fault_inject_preempt_step=4"],
+            )
+        )
+    ckpt = os.path.join(pre_dir, "preempt_model")
+    train_cli.main(
+        _sup_args(
+            data_root, pre_dir,
+            ["training.num_epochs=1", "parallel.num_devices=4",
+             f"training.resume_from_checkpoint={ckpt}"],
+        )
+    )
+    resumed_tree, meta = load_checkpoint(os.path.join(pre_dir, "last_model"))
+    assert meta["epoch"] == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(oracle_tree["params"]),
+        jax.tree_util.tree_leaves(resumed_tree["params"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
+def test_auto_resume_scheduler_loop_converges_bitexact(data_root, tmp_path):
+    """Elastic restart: with training.auto_resume=true and a pinned run dir,
+    a scheduler retry loop reruns the *identical* command after each
+    preemption and converges to exactly num_epochs total, bit-equal to an
+    uninterrupted run; the consumed preempt checkpoint is removed."""
+    oracle_dir = str(tmp_path / "oracle")
+    train_cli.main(_sup_args(data_root, oracle_dir, ["training.num_epochs=3"]))
+    oracle_tree, _ = load_checkpoint(os.path.join(oracle_dir, "last_model"))
+
+    run_dir = str(tmp_path / "elastic")
+    args = _sup_args(
+        data_root, run_dir,
+        ["training.num_epochs=3", "training.auto_resume=true",
+         # one injected fault per attempt: 3 batches/epoch, so attempt 1
+         # dies at epoch 2 batch 1, attempt 2 at epoch 3 batch ~2, ...
+         "training.fault_inject_preempt_step=4"],
+    )
+    attempts = 0
+    while attempts < 6:  # the "scheduler": retry the same command on 75
+        attempts += 1
+        try:
+            train_cli.main(list(args))
+            break
+        except SystemExit as e:
+            assert e.code == preempt.PREEMPT_EXIT_CODE
+            preempt.clear_preemption()
+    else:
+        pytest.fail("auto_resume loop never completed")
+    assert attempts > 1, "fault injection never fired"
+
+    resumed_tree, meta = load_checkpoint(os.path.join(run_dir, "last_model"))
+    assert meta["epoch"] == 3  # the ORIGINAL total, not 3-per-attempt
+    assert not os.path.isdir(os.path.join(run_dir, "preempt_model"))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(oracle_tree["params"]),
+        jax.tree_util.tree_leaves(resumed_tree["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: a real SIGTERM against the CLI subprocess
 # ---------------------------------------------------------------------------

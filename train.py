@@ -155,8 +155,26 @@ def main(argv=None):
         mode, bundle, save_path, config, train_loader, val_loader, mesh
     )
     resume = config["training"].get("resume_from_checkpoint", None)
+    # Elastic restart (TPU-native addition, no reference counterpart):
+    # with training.auto_resume=true and a pinned hydra.run.dir, rerunning
+    # the SAME command after a preemption picks up <run>/preempt_model and
+    # trains up to the ORIGINAL training.num_epochs total — so a scheduler
+    # retry loop (`until python train.py ...; do :; done`) converges to
+    # exactly the requested run. Manual resume_from_checkpoint keeps the
+    # reference's epochs-to-run semantics and takes precedence.
+    auto_resumed = False
+    if not resume and bool(config["training"].get("auto_resume", False)):
+        candidate = os.path.join(save_path, "preempt_model")
+        if os.path.isdir(candidate):
+            resume = candidate
+            auto_resumed = True
+            logger.info("auto_resume: picking up %s", candidate)
     if resume:
         trainer.resume_from(resume)
+
+    epochs_to_run = int(config["training"]["num_epochs"])
+    if auto_resumed:
+        epochs_to_run = max(0, epochs_to_run - trainer.start_epoch)
 
     # Preemption-safe training (vit_ssl_tpu/utils/preempt.py): SIGTERM /
     # SIGUSR1 checkpoints the mid-epoch state and exits 75 (EX_TEMPFAIL);
@@ -171,7 +189,7 @@ def main(argv=None):
     if bool(config["training"].get("preempt_checkpointing", True)):
         install_preemption_handler()
     try:
-        trainer.fit(int(config["training"]["num_epochs"]))
+        trainer.fit(epochs_to_run)
     except PreemptionRequested as e:
         path = trainer.save_preempt(e)
         logger.warning(
@@ -182,6 +200,12 @@ def main(argv=None):
         raise SystemExit(PREEMPT_EXIT_CODE)
     finally:
         uninstall_preemption_handler()
+    if auto_resumed:
+        # the preemption checkpoint is consumed; a stale one would shadow
+        # future auto_resume reruns in the same pinned run dir
+        import shutil
+
+        shutil.rmtree(os.path.join(save_path, "preempt_model"), ignore_errors=True)
     logger.info("Training completed for mode: %s", mode)
     return save_path
 

@@ -116,6 +116,9 @@ class TrainingSchema:
     # TPU-native addition: preemption-safe training (utils/preempt.py)
     preempt_checkpointing: bool = True
     fault_inject_preempt_step: int = 0  # 0 = off; N = simulate preemption
+    # rerun-same-command elastic restart: pick up <run>/preempt_model and
+    # train up to the original num_epochs total (needs pinned hydra.run.dir)
+    auto_resume: bool = False
 
 
 @dataclass

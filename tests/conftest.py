@@ -49,15 +49,22 @@ def _reset_parallel_context():
         pass
 
 
+# Captured at conftest import — before any test or fixture has run — so
+# restoration always returns to the true session baseline. A per-test
+# snapshot is NOT enough: module-scoped fixtures (e.g. test_moe's
+# ep1_base) run the in-process CLI *before* the function-scoped autouse
+# fixture's setup, so a setup-time snapshot records the already-poisoned
+# 'rbg' and then "restores" it forever (bit the multihost in-process
+# oracle a second time this way).
+_BASELINE_PRNG_IMPL = jax.config.jax_default_prng_impl
+
+
 @pytest.fixture(autouse=True)
 def _reset_default_prng_impl():
     """train.py sets ``jax_default_prng_impl`` process-globally (fine for
-    the real CLI, which owns its process). Tests that drive the CLI
-    in-process must not leak 'rbg' into later tests whose oracles assume
-    the default threefry keys (bit us: test_moe's CLI runs flipped the
-    multihost test's in-process oracle while its worker subprocesses
-    stayed threefry)."""
-    impl = jax.config.jax_default_prng_impl
+    the real CLI, which owns its process). Tests and module-scoped
+    fixtures that drive the CLI in-process must not leak 'rbg' into later
+    tests whose oracles assume the default threefry keys."""
     yield
-    if jax.config.jax_default_prng_impl != impl:
-        jax.config.update("jax_default_prng_impl", impl)
+    if jax.config.jax_default_prng_impl != _BASELINE_PRNG_IMPL:
+        jax.config.update("jax_default_prng_impl", _BASELINE_PRNG_IMPL)

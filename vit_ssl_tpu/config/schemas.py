@@ -61,6 +61,7 @@ class ModelSchema:
     fast_dropout: bool = True  # uint16-threshold dropout (ops/dropout.py)
     patch_dropout: float = 0.0  # supervised/finetune: PatchDropout keep-subset
     dino_pack_locals: bool = False  # pack local crops block-diagonally
+    scan_layers: bool = False  # nn.scan encoder stack (ops/encoder_stack.py)
     # Mixture-of-Experts FFN (ops/moe.py; supervised/finetune only).
     # 0 = the reference's dense ViT; >0 = V-MoE-style routed experts in
     # every moe_every-th block, shardable over parallel.ep
@@ -190,8 +191,29 @@ def validate_train_config(cfg: Config) -> Config:
             "strategy"
         )
 
-    # Mixture-of-Experts (model.moe_experts, ops/moe.py)
+    # Scanned encoder stack (model.scan_layers, ops/encoder_stack.py)
     model = cfg.get("model", {}) or {}
+    if bool(model.get("scan_layers", False)):
+        if int(model.get("moe_experts", 0) or 0) > 0:
+            raise ConfigValidationError(
+                "model.scan_layers cannot be combined with "
+                "model.moe_experts > 0 — the scanned stack is homogeneous; "
+                "MoE blocks alternate with dense ones"
+            )
+        if int(parallel.get("pp", 1) or 1) > 1:
+            raise ConfigValidationError(
+                "model.scan_layers cannot be combined with parallel.pp — "
+                "the pipeline already stacks+scans its own per-stage "
+                "params; pp gives the same compile-time benefit"
+            )
+        if int(parallel.get("tp", 1) or 1) > 1:
+            raise ConfigValidationError(
+                "model.scan_layers cannot be combined with parallel.tp — "
+                "the tensor-parallel sharding rules are written for the "
+                "unrolled parameter tree; set model.scan_layers=false"
+            )
+
+    # Mixture-of-Experts (model.moe_experts, ops/moe.py)
     moe_experts = int(model.get("moe_experts", 0) or 0)
     ep = int(parallel.get("ep", 1) or 1)
     if moe_experts > 0:

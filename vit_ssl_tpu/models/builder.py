@@ -63,6 +63,7 @@ def _common_kwargs(config) -> Dict[str, Any]:
         init_scheme=str(model.get("init_scheme", "reference")),
         matmul_precision=str(model.get("matmul_precision", "default")),
         remat=bool(config.get("parallel", {}).get("remat", False)),
+        scan_layers=bool(model.get("scan_layers", False)),
     )
 
 
@@ -197,6 +198,7 @@ def load_weights(target_params, pretrained_params, extended: bool = False):
     (`model_builder.py:42-85`). Returns updated target params."""
     tgt = _flat(target_params)
     src = _flat(pretrained_params)
+    src = _align_stack_convention(src, tgt)
     out = dict(tgt)
     used = set()
     upcycle_keys = _moe_upcycle_sources(tgt)
@@ -250,6 +252,24 @@ def load_weights(target_params, pretrained_params, extended: bool = False):
     updated = sum(1 for k in tgt if out[k] is not tgt[k])
     logger.info("load_weights: %d/%d target tensors updated", updated, len(tgt))
     return _unflat(out)
+
+
+def _align_stack_convention(src, tgt):
+    """Convert the checkpoint's encoder-stack convention to the target's
+    (``encoder_blocks_{i}.*`` unrolled ↔ ``encoder_scan.block.*`` stacked,
+    ops/encoder_stack.py) so ``model.scan_layers`` checkpoints port both
+    ways, including under DINO/teacher prefixes."""
+    from ..ops import encoder_stack as es
+
+    if es.flat_has_scanned(tgt) and es.flat_has_unrolled(src):
+        logger.info("load_weights: stacking unrolled encoder blocks "
+                    "(checkpoint) into the scanned layout (model)")
+        return es.flat_to_scanned(src)
+    if es.flat_has_unrolled(tgt) and es.flat_has_scanned(src):
+        logger.info("load_weights: unstacking scanned encoder blocks "
+                    "(checkpoint) into the unrolled layout (model)")
+        return es.flat_to_unrolled(src)
+    return src
 
 
 def _moe_upcycle_sources(tgt):
@@ -379,7 +399,7 @@ def freeze_backbone_mask(params) -> Any:
     mask = {}
     for key in flat:
         path = ".".join(map(str, key))
-        frozen = path.startswith("encoder_blocks") or (
+        frozen = path.startswith(("encoder_blocks", "encoder_scan")) or (
             path.startswith("patch_embedding") and "cls_token" not in path
         )
         mask[key] = not frozen

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import DynamicPatchEmbed, EncoderBlock
+from ..ops.encoder_stack import scanned_encoder
 from ..ops.initializers import InitScheme
 from ..ops.precision import resolve_precision
 
@@ -135,6 +136,7 @@ class ViTBackbone(nn.Module):
     init_scheme: str = "reference"
     matmul_precision: str = "default"
     remat: bool = False
+    scan_layers: bool = False  # nn.scan over the stack (ops/encoder_stack.py)
 
     def setup(self):
         # setup-style so the forward decomposes into embed/encode/finish
@@ -149,25 +151,31 @@ class ViTBackbone(nn.Module):
             init_scheme=self.init_scheme,
             matmul_precision=self.matmul_precision,
         )
-        block_cls = EncoderBlock
-        if self.remat:
-            block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3, 4))
-        self.encoder_blocks = [
-            block_cls(
-                d_model=self.embed_dim,
-                num_heads=self.num_heads,
-                mlp_dim=self.mlp_dim,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                use_flash=self.use_flash,
-                use_fused_mlp=self.use_fused_mlp,
-                fast_dropout=self.fast_dropout,
-                init_scheme=self.init_scheme,
-                matmul_precision=self.matmul_precision,
+        block_kwargs = dict(
+            d_model=self.embed_dim,
+            num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_flash=self.use_flash,
+            use_fused_mlp=self.use_fused_mlp,
+            fast_dropout=self.fast_dropout,
+            init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
+        )
+        if self.scan_layers:
+            self.encoder_scan = scanned_encoder(
+                self.num_blocks, block_kwargs, remat=self.remat
             )
-            for _ in range(self.num_blocks)
-        ]
+            self.encoder_blocks = ()
+        else:
+            block_cls = EncoderBlock
+            if self.remat:
+                block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3, 4))
+            self.encoder_blocks = [
+                block_cls(**block_kwargs) for _ in range(self.num_blocks)
+            ]
 
     def embed(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         del deterministic  # patch embedding has no dropout
@@ -180,6 +188,15 @@ class ViTBackbone(nn.Module):
         return_attn: bool = False,
         block_size: int = 0,
     ):
+        if self.scan_layers:
+            if return_attn:
+                raise ValueError(
+                    "return_attn requires the unrolled encoder stack — "
+                    "set model.scan_layers=false (checkpoints convert "
+                    "between conventions via models.builder.load_weights)"
+                )
+            x, _ = self.encoder_scan(x, deterministic, block_size)
+            return x
         attn_probs = None
         for i, block in enumerate(self.encoder_blocks):
             if return_attn and i == self.num_blocks - 1:
@@ -228,6 +245,7 @@ class DINONetwork(nn.Module):
     init_scheme: str = "reference"
     matmul_precision: str = "default"
     remat: bool = False
+    scan_layers: bool = False
 
     def setup(self):
         self.backbone = ViTBackbone(
@@ -246,6 +264,7 @@ class DINONetwork(nn.Module):
             init_scheme=self.init_scheme,
             matmul_precision=self.matmul_precision,
             remat=self.remat,
+            scan_layers=self.scan_layers,
         )
         self.head = DINOHead(
             embed_dim=self.embed_dim,

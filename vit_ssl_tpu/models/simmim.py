@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import EncoderBlock, extract_patches
+from ..ops.encoder_stack import scanned_encoder
 from ..ops.initializers import InitScheme
 from ..ops.precision import resolve_precision
 
@@ -63,6 +64,7 @@ class SimMIMViT(nn.Module):
     init_scheme: str = "reference"
     matmul_precision: str = "default"
     remat: bool = False
+    scan_layers: bool = False  # nn.scan over the stack (ops/encoder_stack.py)
 
     def setup(self):
         init = InitScheme(self.init_scheme)
@@ -99,28 +101,37 @@ class SimMIMViT(nn.Module):
             name="simmim_head",
         )
 
-        block_cls = EncoderBlock
-        if self.remat:
-            block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
-        self.encoder_blocks = [
-            block_cls(
-                d_model=self.embed_dim,
-                num_heads=self.num_heads,
-                mlp_dim=self.mlp_dim,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                use_flash=self.use_flash,
-                use_fused_mlp=self.use_fused_mlp,
-                fast_dropout=self.fast_dropout,
-                init_scheme=self.init_scheme,
-                matmul_precision=self.matmul_precision,
-                name=f"encoder_blocks_{i}",
+        block_kwargs = dict(
+            d_model=self.embed_dim,
+            num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_flash=self.use_flash,
+            use_fused_mlp=self.use_fused_mlp,
+            fast_dropout=self.fast_dropout,
+            init_scheme=self.init_scheme,
+            matmul_precision=self.matmul_precision,
+        )
+        if self.scan_layers:
+            self.encoder_scan = scanned_encoder(
+                self.num_blocks, block_kwargs, remat=self.remat
             )
-            for i in range(self.num_blocks)
-        ]
+            self.encoder_blocks = ()
+        else:
+            block_cls = EncoderBlock
+            if self.remat:
+                block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
+            self.encoder_blocks = [
+                block_cls(**block_kwargs, name=f"encoder_blocks_{i}")
+                for i in range(self.num_blocks)
+            ]
 
     def _encode(self, tokens: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.scan_layers:
+            tokens, _ = self.encoder_scan(tokens, deterministic, 0)
+            return tokens
         for block in self.encoder_blocks:
             tokens = block(tokens, deterministic, False)
         return tokens

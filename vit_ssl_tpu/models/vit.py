@@ -10,6 +10,12 @@ is mathematically identical and avoids materialising N-1 unused maps).
 Optional ``remat`` wraps each encoder block in ``jax.checkpoint`` to trade
 FLOPs for HBM (useful for big batches / ViT-B+ scale on one chip).
 
+Optional ``scan_layers`` (``model.scan_layers``, default off) replaces the
+unrolled block list with one ``nn.scan`` body over stacked params
+(``ops/encoder_stack.py``): ~depth× faster compiles for deep models,
+identical math; incompatible with ``return_attn`` and MoE (see the
+encoder_stack module docstring for the full divergence list).
+
 Optional ``patch_dropout`` (train-time only, off by default for reference
 parity) keeps a random per-sample subset of patch tokens after the
 positional embedding — PatchDropout (Liu et al., arXiv:2208.07220):
@@ -27,6 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import ConvPatchEmbed, EncoderBlock, MLPHead
+from ..ops.encoder_stack import scanned_encoder
 
 
 class ViT(nn.Module):
@@ -47,6 +54,7 @@ class ViT(nn.Module):
     init_scheme: str = "reference"
     matmul_precision: str = "default"
     remat: bool = False
+    scan_layers: bool = False  # nn.scan over the stack (ops/encoder_stack.py)
     # TPU-native addition (no reference counterpart): Mixture-of-Experts
     # FFN blocks (ops/moe.py, V-MoE placement: every ``moe_every``-th
     # block starting from the second — arXiv:2106.05974 uses the same
@@ -77,34 +85,60 @@ class ViT(nn.Module):
             init_scheme=self.init_scheme,
             matmul_precision=self.matmul_precision,
         )
-        block_cls = EncoderBlock
-        if self.remat:
-            block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
-        self.encoder_blocks = [
-            block_cls(
-                d_model=self.embed_dim,
-                num_heads=self.num_heads,
-                mlp_dim=self.mlp_dim,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                use_flash=self.use_flash,
-                use_fused_mlp=self.use_fused_mlp,
-                fast_dropout=self.fast_dropout,
-                init_scheme=self.init_scheme,
-                matmul_precision=self.matmul_precision,
-                num_experts=(
-                    self.moe_experts if self._is_moe_block(i) else 0
+        if self.scan_layers:
+            if self.moe_experts > 0:
+                raise ValueError(
+                    "model.scan_layers cannot be combined with "
+                    "model.moe_experts > 0 — the scanned stack is "
+                    "homogeneous; MoE blocks alternate with dense ones"
+                )
+            self.encoder_scan = scanned_encoder(
+                self.num_blocks,
+                dict(
+                    d_model=self.embed_dim,
+                    num_heads=self.num_heads,
+                    mlp_dim=self.mlp_dim,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    use_flash=self.use_flash,
+                    use_fused_mlp=self.use_fused_mlp,
+                    fast_dropout=self.fast_dropout,
+                    init_scheme=self.init_scheme,
+                    matmul_precision=self.matmul_precision,
                 ),
-                moe_top_k=self.moe_top_k,
-                moe_capacity_factor=self.moe_capacity_factor,
-                moe_group_size=self.moe_group_size,
-                moe_aux_weight=self.moe_aux_weight,
-                moe_zloss_weight=self.moe_zloss_weight,
-                moe_router_noise=self.moe_router_noise,
+                remat=self.remat,
             )
-            for i in range(self.num_blocks)
-        ]
+            self.encoder_blocks = ()
+        else:
+            block_cls = EncoderBlock
+            if self.remat:
+                block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
+            self.encoder_blocks = [
+                block_cls(
+                    d_model=self.embed_dim,
+                    num_heads=self.num_heads,
+                    mlp_dim=self.mlp_dim,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    use_flash=self.use_flash,
+                    use_fused_mlp=self.use_fused_mlp,
+                    fast_dropout=self.fast_dropout,
+                    init_scheme=self.init_scheme,
+                    matmul_precision=self.matmul_precision,
+                    num_experts=(
+                        self.moe_experts if self._is_moe_block(i) else 0
+                    ),
+                    moe_top_k=self.moe_top_k,
+                    moe_capacity_factor=self.moe_capacity_factor,
+                    moe_group_size=self.moe_group_size,
+                    moe_aux_weight=self.moe_aux_weight,
+                    moe_zloss_weight=self.moe_zloss_weight,
+                    moe_router_noise=self.moe_router_noise,
+                )
+                for i in range(self.num_blocks)
+            ]
         self.classification_head = MLPHead(
             d_model=self.embed_dim,
             num_classes=self.num_classes,
@@ -140,6 +174,15 @@ class ViT(nn.Module):
         deterministic: bool = True,
         return_attn: bool = False,
     ):
+        if self.scan_layers:
+            if return_attn:
+                raise ValueError(
+                    "return_attn requires the unrolled encoder stack — "
+                    "set model.scan_layers=false (checkpoints convert "
+                    "between conventions via models.builder.load_weights)"
+                )
+            x, _ = self.encoder_scan(x, deterministic, 0)
+            return x
         attn_probs = None
         for i, block in enumerate(self.encoder_blocks):
             if return_attn and i == self.num_blocks - 1:

@@ -47,7 +47,10 @@ from .encoder_block import EncoderBlock
 
 SCAN_MODULE = "encoder_scan"
 _SCANNED_MARK = f"{SCAN_MODULE}.block."
-_UNROLLED_RE = re.compile(r"^(.*?)encoder_blocks_(\d+)\.(.+)$")
+# Anchored to a path-component boundary: the prefix must be empty or end
+# with '.', so a module merely *containing* the substring (e.g.
+# "my_encoder_blocks_0.x") never triggers whole-dict conversion.
+_UNROLLED_RE = re.compile(r"^((?:[^.]+\.)*)encoder_blocks_(\d+)\.(.+)$")
 
 
 class _ScanCell(nn.Module):

@@ -237,7 +237,24 @@ def dino_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def _unroll_for_export(params: Dict) -> Dict:
+    """Torch export works on the unrolled ``encoder_blocks_{i}`` layout; a
+    ``model.scan_layers`` checkpoint carries one stacked ``encoder_scan``
+    subtree instead, which the per-block exporters below would silently
+    skip (0 encoder keys). Unstack it first."""
+    from ..ops.encoder_stack import SCAN_MODULE, unroll_scanned_tree
+
+    if SCAN_MODULE in params:
+        return unroll_scanned_tree(params)
+    return params
+
+
 def _our_block_count(params: Dict) -> int:
+    if "encoder_scan" in params:
+        raise ValueError(
+            "params carry a scanned 'encoder_scan' subtree; call "
+            "ops.encoder_stack.unroll_scanned_tree before exporting"
+        )
     return sum(1 for k in params if str(k).startswith("encoder_blocks_"))
 
 
@@ -268,7 +285,9 @@ def vit_params_to_torch(params: Dict) -> Dict[str, np.ndarray]:
     """Our supervised ViT params → a reference-layout state_dict (numpy).
 
     Loads into `/root/reference/vit_core/vit.py::ViT` with ``strict=True``
-    (round-trip tested in tests/test_checkpoint.py)."""
+    (round-trip tested in tests/test_checkpoint.py). Scanned
+    (``model.scan_layers``) checkpoints are unstacked first."""
+    params = _unroll_for_export(params)
     pe = params["patch_embedding"]
     head = params["classification_head"]
     sd = {
@@ -291,6 +310,7 @@ def vit_params_to_torch(params: Dict) -> Dict[str, np.ndarray]:
 
 
 def simmim_params_to_torch(params: Dict) -> Dict[str, np.ndarray]:
+    params = _unroll_for_export(params)
     sd = {
         "projection.weight": _t(params["projection"]["kernel"]).T,
         "projection.bias": _t(params["projection"]["bias"]),
@@ -309,6 +329,7 @@ def simmim_params_to_torch(params: Dict) -> Dict[str, np.ndarray]:
 
 
 def _dino_backbone_to_torch(backbone: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    backbone = _unroll_for_export(backbone)
     pe = backbone["patch_embedding"]
     sd = {
         f"{prefix}.patch_embedding.proj.weight": _t(pe["proj"]["kernel"]).transpose(

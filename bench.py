@@ -595,6 +595,84 @@ def bench_reference_cpu(batch: int, iters: int, use_cache: bool = True) -> float
 
 
 
+def _leg_fns(args, warmup: int, iters: int):
+    """Registry of the no-arg run's measurement legs. Each entry builds
+    one step program and measures it; the no-arg parent runs every leg in
+    a FRESH SUBPROCESS (one compile + measure per process) because legs
+    measured late in a long multi-leg process drift +8–15% on this host
+    (VERDICT r3 weakness 4; docs/performance.md 'leg isolation')."""
+    return {
+        "supervised": lambda: bench_mode(
+            "supervised", args.batch, warmup, iters),
+        "supervised_xla": lambda: bench_mode(
+            "supervised", args.batch, warmup, iters, use_flash=False),
+        "simmim": lambda: bench_mode("simmim", args.batch, warmup, iters),
+        "simmim_xla": lambda: bench_mode(
+            "simmim", args.batch, warmup, iters, use_flash=False),
+        "dino": lambda: bench_ours(
+            args.batch, warmup, iters, pack_locals=args.pack_locals),
+        "dino_xla": lambda: bench_ours(
+            args.batch, warmup, iters, use_flash=False),
+        "dino_nodropout": lambda: bench_ours(
+            args.batch, warmup, iters, dropout=0.0, teacher_dropout=False,
+            pack_locals=args.pack_locals),
+        # probe leg (not part of the no-arg run): isolates the teacher's
+        # reference-parity train-mode dropout from the student's
+        "dino_teacher_eval": lambda: bench_ours(
+            args.batch, warmup, iters, teacher_dropout=False,
+            pack_locals=args.pack_locals),
+        "inference": lambda: bench_inference(256, iters, img=192),
+    }
+
+
+def _run_leg_subprocess(name: str, args, required: bool = True,
+                        attempts: int = 3):
+    """Measure one leg in a fresh python subprocess (`bench.py --leg X`)
+    and parse its JSON result line. Retries transient tunnel failures the
+    way _with_retries does for in-process legs."""
+    import subprocess
+
+    cmd = [sys.executable, __file__, "--leg", name,
+           "--batch", str(args.batch), "--no-wait-backend"]
+    if args.quick:
+        cmd.append("--quick")
+    if not args.pack_locals:
+        cmd.append("--no-pack-locals")
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=3600)
+        except subprocess.TimeoutExpired:
+            log(f"[leg {name}] subprocess hung >3600s "
+                f"(attempt {attempt + 1}/{attempts})")
+            continue
+        # the child logs to stderr; surface it so leg progress is visible
+        for line in (r.stderr or "").splitlines():
+            log(f"  [leg {name}] {line}")
+        if r.returncode == 0:
+            for line in reversed((r.stdout or "").splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if rec.get("leg") == name:
+                        rec.pop("leg")
+                        return rec
+            log(f"[leg {name}] exited 0 but printed no result line")
+        else:
+            log(f"[leg {name}] attempt {attempt + 1}/{attempts} failed "
+                f"(rc={r.returncode})")
+        if attempt + 1 < attempts:
+            time.sleep(20 * (attempt + 1))
+    if required:
+        raise RuntimeError(f"bench leg '{name}' failed after {attempts} "
+                           f"subprocess attempts")
+    log(f"[leg {name}] giving up (optional leg) — reporting without it")
+    return None
+
+
 def _with_retries(fn, what: str, attempts: int = 3, required: bool = True):
     """Run a bench leg, retrying transient axon-tunnel failures.
 
@@ -709,6 +787,19 @@ def main(argv=None):
         "(default: subprocess probe + retry, worst case ~28 min, before "
         "benching)",
     )
+    parser.add_argument(
+        "--leg", default=None,
+        help="measure exactly ONE leg of the no-arg run in this process "
+        "and print its JSON (supervised[_xla], simmim[_xla], dino[_xla], "
+        "dino_nodropout, dino_teacher_eval, inference); the no-arg parent "
+        "uses this for per-leg subprocess isolation",
+    )
+    parser.add_argument(
+        "--in-process", action="store_true",
+        help="run the no-arg legs in this process (pre-round-4 behavior; "
+        "late legs read +8-15%% high on this 1-core host — see "
+        "docs/performance.md)",
+    )
     args = parser.parse_args(argv)
 
     if args.moe_experts > 0:
@@ -732,6 +823,15 @@ def main(argv=None):
         import jax.numpy as jnp
 
         float(jnp.zeros(()))
+
+    if args.leg:
+        legs = _leg_fns(args, warmup, iters)
+        if args.leg not in legs:
+            parser.error(f"unknown --leg {args.leg!r}; one of {sorted(legs)}")
+        threading.Thread(target=_warm_channel, daemon=True).start()
+        rec = legs[args.leg]()
+        print(json.dumps({"leg": args.leg, **rec}), flush=True)
+        return rec
 
     if args.inference:
         threading.Thread(target=_warm_channel, daemon=True).start()
@@ -794,52 +894,48 @@ def main(argv=None):
     # dino-only sanity run unless --all-modes is explicit.
     all_modes = args.all_modes or not (args.dino_only or args.quick)
 
+    # Per-leg subprocess isolation (default): one compile + measure per
+    # fresh process. In-process multi-leg runs drift — legs measured late
+    # read +8-15% high on this 1-core host (the same HLO measured 63.4
+    # then 73.0 ms as leg 7; docs/performance.md 'leg isolation') — at the
+    # cost of ~2 min/leg re-paying the device→host channel init (~120 s,
+    # overlapped with the cached compile).
+    leg_fns = _leg_fns(args, warmup, iters)
+
+    def run_leg(name: str, required: bool = True):
+        if args.in_process:
+            return _with_retries(leg_fns[name], f"ours/{name}",
+                                 required=required)
+        return _run_leg_subprocess(name, args, required=required)
+
     modes = {}
     if all_modes:
         for mode in ("supervised", "simmim"):
-            modes[mode] = _with_retries(
-                lambda m=mode: bench_mode(m, args.batch, warmup, iters),
-                f"ours/{mode}")
+            modes[mode] = run_leg(mode)
             if not args.no_xla_compare:
-                xla = _with_retries(
-                    lambda m=mode: bench_mode(m, args.batch, warmup, iters,
-                                              use_flash=False),
-                    f"ours/{mode}/xla", required=False)
+                xla = run_leg(f"{mode}_xla", required=False)
                 if xla is not None:
                     modes[mode]["vs_xla"] = (
                         xla["ms_per_step"] / modes[mode]["ms_per_step"])
                     modes[f"{mode}_xla"] = xla
 
-    ours = _with_retries(
-        lambda: bench_ours(args.batch, warmup, iters,
-                           pack_locals=args.pack_locals),
-        "ours/dino")
+    ours = run_leg("dino")
     modes["dino"] = ours
     if not args.no_xla_compare:
-        xla = _with_retries(
-            lambda: bench_ours(args.batch, warmup, iters, use_flash=False),
-            "ours/dino/xla", required=False)
+        xla = run_leg("dino_xla", required=False)
         if xla is not None:
             ours["vs_xla"] = xla["ms_per_step"] / ours["ms_per_step"]
             modes["dino_xla"] = xla
     if all_modes:
         # ablation: dropout 0 + deterministic teacher — makes the known
-        # regularisation overhead (~14 ms of the ViT-S step) visible in
-        # the recorded JSON instead of only in the builder's notes
-        # same pack_locals as the headline leg so the ablation isolates
-        # the regularisation cost alone (it used to run unpacked, mixing
-        # the packing delta into the dropout delta)
-        abl = _with_retries(
-            lambda: bench_ours(args.batch, warmup, iters, dropout=0.0,
-                               teacher_dropout=False,
-                               pack_locals=args.pack_locals),
-            "ours/dino/no-dropout", required=False)
+        # regularisation overhead visible in the recorded JSON instead of
+        # only in the builder's notes; same pack_locals as the headline
+        # leg so the ablation isolates the regularisation cost alone
+        abl = run_leg("dino_nodropout", required=False)
         if abl is not None:
             modes["dino_nodropout"] = abl
         # serving path: deterministic jitted forward (fwd-only FLOPs)
-        inf = _with_retries(
-            lambda: bench_inference(256, iters, img=192),
-            "ours/inference", required=False)
+        inf = run_leg("inference", required=False)
         if inf is not None:
             modes["inference"] = inf
 

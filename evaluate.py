@@ -36,17 +36,27 @@ def main(argv=None):
     parser.add_argument("--config-name", "-cn", default="eval_config")
     parser.add_argument("--config-path", "-cp", default="configs")
     parser.add_argument("overrides", nargs="*")
-    parser.add_argument("-m", "--multirun", action="store_true")
+    parser.add_argument(
+        "-m", "--multirun", action="store_true",
+        help="Hydra-style sweep: expand comma-list overrides into the "
+             "cartesian product of jobs and evaluate them sequentially",
+    )
     args = parser.parse_args(argv)
     if args.multirun:
-        raise SystemExit(
-            "Multirun (-m/--multirun) is intentionally not implemented; "
-            "sweep with a shell loop over single runs."
-        )
+        from vit_ssl_tpu.config import expand_multirun
 
+        jobs = expand_multirun(args.overrides)
+        logger.info("Multirun: %d evaluation job(s)", len(jobs))
+        return [
+            _run_one(args.config_path, args.config_name, job) for job in jobs
+        ]
+    return _run_one(args.config_path, args.config_name, args.overrides)
+
+
+def _run_one(config_path, config_name, overrides):
     from vit_ssl_tpu.config import compose, validate_eval_config
 
-    config = compose(args.config_path, args.config_name, args.overrides)
+    config = compose(config_path, config_name, overrides)
 
     if config.get("eval", {}).get("mode"):
         validate_eval_config(config)

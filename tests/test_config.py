@@ -248,16 +248,37 @@ def test_plus_group_addition():
     assert cfg.extra_model.embed_dim == 384
 
 
-def test_multirun_rejected():
-    import subprocess
-    import sys
+def test_expand_multirun_choice_sweep():
+    from vit_ssl_tpu.config import expand_multirun
 
-    out = subprocess.run(
-        [sys.executable, "train.py", "-m", "training.num_epochs=1"],
-        capture_output=True, text=True,
-    )
-    assert out.returncode != 0
-    assert "not implemented" in (out.stderr + out.stdout)
+    jobs = expand_multirun(["a.b=1,2", "c=x"])
+    assert jobs == [["a.b=1", "c=x"], ["a.b=2", "c=x"]]
+
+
+def test_expand_multirun_cartesian_order():
+    """Hydra BasicSweeper order: rightmost sweep axis varies fastest."""
+    from vit_ssl_tpu.config import expand_multirun
+
+    jobs = expand_multirun(["a=1,2", "b=x,y"])
+    assert jobs == [
+        ["a=1", "b=x"], ["a=1", "b=y"], ["a=2", "b=x"], ["a=2", "b=y"],
+    ]
+
+
+def test_expand_multirun_ignores_brackets_and_quotes():
+    from vit_ssl_tpu.config import expand_multirun
+
+    # list values and quoted commas are literals, not sweeps (Hydra parity)
+    assert expand_multirun(["a=[1,2]"]) == [["a=[1,2]"]]
+    assert expand_multirun(["a='x,y'"]) == [["a='x,y'"]]
+    assert expand_multirun(["~a.b", "c=1"]) == [["~a.b", "c=1"]]
+
+
+def test_expand_multirun_no_sweep_is_one_job():
+    from vit_ssl_tpu.config import expand_multirun
+
+    assert expand_multirun(["a=1"]) == [["a=1"]]
+    assert expand_multirun([]) == [[]]
 
 
 def test_preflight_eval_data_catches_shadowed_override(tmp_path):

@@ -39,6 +39,37 @@ def _common(data_root, run_dir, extra=()):
     ]
 
 
+def test_multirun_sweep_two_jobs(data_root, tmp_path, monkeypatch):
+    """`python train.py -m training.warmup_final_learning_rate=...` runs two
+    sequential jobs under multirun/<ts>/<idx> with the per-job override
+    applied (Hydra `-m` parity, `/root/reference/train.py:103`)."""
+    monkeypatch.chdir(tmp_path)  # multirun/ lands under cwd, like Hydra
+    configs = os.path.join(os.path.dirname(train_cli.__file__), "configs")
+    run_dirs = train_cli.main(
+        [
+            "-m",
+            "--config-path", configs,
+            "--config-name", "supervised",
+            f"data.data_dir={data_root}/train_images",
+            f"data.data_csv={data_root}/train_labels.json",
+            "model.num_classes=3",
+            "training.warmup_final_learning_rate=1e-4,1e-3",
+            *[o for o in _common(data_root, "unused")
+              if not o.startswith("hydra.run.dir")],
+        ]
+    )
+    assert len(run_dirs) == 2
+    assert [os.path.basename(d) for d in run_dirs] == ["0", "1"]
+    lrs = []
+    for d in run_dirs:
+        assert os.path.isdir(os.path.join(d, "last_model"))
+        meta = json.load(open(os.path.join(d, "last_model", "metadata.json")))
+        lrs.append(float(meta["config"]["training"]["warmup_final_learning_rate"]))
+    assert lrs == [1e-4, 1e-3]
+    sweep_dir = os.path.dirname(run_dirs[0])
+    assert os.path.exists(os.path.join(sweep_dir, "multirun.yaml"))
+
+
 def test_supervised_trainer_end_to_end(data_root, tmp_path):
     run_dir = str(tmp_path / "sup")
     train_cli.main(

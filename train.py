@@ -48,17 +48,11 @@ def parse_args(argv=None):
     )
     parser.add_argument(
         "-m", "--multirun", action="store_true",
-        help="NOT supported — see the error message",
+        help="Hydra-style sweep: expand comma-list overrides "
+             "(training.lr=1e-4,1e-3) into the cartesian product of jobs "
+             "and run them sequentially under multirun/<timestamp>/<job>",
     )
-    args = parser.parse_args(argv)
-    if args.multirun:
-        raise SystemExit(
-            "Multirun (-m/--multirun) is intentionally not implemented in "
-            "this framework. Sweep with a shell loop over single runs, "
-            "e.g.: for lr in 1e-4 3e-4; do python train.py "
-            "training.warmup_final_learning_rate=$lr; done"
-        )
-    return args
+    return parser.parse_args(argv)
 
 
 def get_save_path(config) -> str:
@@ -100,9 +94,54 @@ def get_trainer(mode, bundle, save_path, config, train_loader, val_loader, mesh)
     return cls(bundle, save_path, config, train_loader, val_loader, mesh)
 
 
+def run_multirun(args):
+    """Sequential sweep over the cartesian product of comma-list overrides
+    (Hydra `-m` parity — the reference gets this from ``@hydra.main``,
+    `/root/reference/train.py:103`). Each job runs the full single-run
+    path with its run dir pinned to ``<sweep_dir>/<job_idx>`` (Hydra's
+    BasicSweeper layout: ``multirun/<date>/<time>/<n>``); the sweep's
+    overrides are recorded in ``<sweep_dir>/multirun.yaml``."""
+    import datetime
+
+    from vit_ssl_tpu.config import expand_multirun, save_yaml
+
+    jobs = expand_multirun(args.overrides)
+    now = datetime.datetime.now()
+    sweep_dir = os.path.join(
+        "multirun", now.strftime("%Y-%m-%d"), now.strftime("%H-%M-%S")
+    )
+    os.makedirs(sweep_dir, exist_ok=True)
+    save_yaml(
+        {"overrides": list(args.overrides), "n_jobs": len(jobs)},
+        os.path.join(sweep_dir, "multirun.yaml"),
+    )
+    logger.info("Multirun: %d job(s) under %s", len(jobs), sweep_dir)
+    run_dirs = []
+    for idx, job_overrides in enumerate(jobs):
+        job_dir = os.path.join(sweep_dir, str(idx))
+        logger.info(
+            "Multirun job %d/%d: %s", idx, len(jobs), " ".join(job_overrides)
+        )
+        # pinned LAST so it wins over any user-supplied hydra.run.dir —
+        # in a sweep, a shared literal run dir would overwrite every job
+        run_dirs.append(
+            run_single(
+                args.config_path,
+                args.config_name,
+                list(job_overrides) + [f"hydra.run.dir={job_dir}"],
+            )
+        )
+    return run_dirs
+
+
 def main(argv=None):
     args = parse_args(argv)
+    if args.multirun:
+        return run_multirun(args)
+    return run_single(args.config_path, args.config_name, args.overrides)
 
+
+def run_single(config_path, config_name, overrides):
     from vit_ssl_tpu.config import (
         compose,
         preflight_eval_data,
@@ -112,7 +151,7 @@ def main(argv=None):
     from vit_ssl_tpu.models.builder import build_model
     from vit_ssl_tpu.parallel import mesh_from_config
 
-    config = compose(args.config_path, args.config_name, args.overrides)
+    config = compose(config_path, config_name, overrides)
     validate_train_config(config)
     preflight_eval_data(config)
     mode = str(config["training"]["type"]).lower()
@@ -148,7 +187,7 @@ def main(argv=None):
 
     save_path = get_save_path(config)
     os.makedirs(save_path, exist_ok=True)
-    save_run_config(config, args.overrides, save_path)
+    save_run_config(config, overrides, save_path)
     logger.info("Run directory: %s", save_path)
 
     trainer = get_trainer(

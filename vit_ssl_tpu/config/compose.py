@@ -466,3 +466,67 @@ def compose(
 def is_list(value: Any) -> bool:
     """OmegaConf.is_list equivalent (used by ``prepare_dataloaders``)."""
     return isinstance(value, (list, tuple))
+
+
+# ---------------------------------------------------------------------------
+# Multirun sweeps (Hydra `-m` parity: `/root/reference/train.py:103` gets
+# `python train.py -m a=1,2` for free from @hydra.main; here the expansion
+# is explicit and the entry points run the jobs sequentially)
+# ---------------------------------------------------------------------------
+
+
+def _split_sweep_value(value: str) -> List[str]:
+    """Split an override value on top-level commas — commas inside
+    brackets (``a=[1,2]`` is a list, not a sweep) or quotes
+    (``a='x,y'`` is a literal) do not split, matching Hydra."""
+    parts: List[str] = []
+    buf: List[str] = []
+    depth = 0
+    quote: Optional[str] = None
+    for ch in value:
+        if quote:
+            if ch == quote:
+                quote = None
+            buf.append(ch)
+        elif ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch in "[({":
+            depth += 1
+            buf.append(ch)
+        elif ch in "])}":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts]
+
+
+def expand_multirun(overrides: Optional[List[str]]) -> List[List[str]]:
+    """Expand Hydra choice sweeps into per-job override lists.
+
+    Every override whose value contains a top-level comma
+    (``key=v1,v2`` — dotlist or config-group alike) is a sweep axis; the
+    jobs are the cartesian product in override order with the rightmost
+    axis varying fastest (Hydra's BasicSweeper job order). With no sweep
+    axes the result is one job with the overrides unchanged.
+    """
+    import itertools
+
+    axes: List[List[str]] = []
+    for ov in overrides or []:
+        s = ov.strip()
+        key, eq, value = s.partition("=")
+        if not eq or s.startswith("~"):
+            axes.append([s])
+            continue
+        vals = _split_sweep_value(value)
+        if len(vals) > 1:
+            axes.append([f"{key}={v}" for v in vals])
+        else:
+            axes.append([s])
+    return [list(combo) for combo in itertools.product(*axes)]

@@ -120,7 +120,9 @@ class PipelinedModel:
         self, params, tokens, deterministic: bool, dropout_rng
     ) -> jnp.ndarray:
         block_parent = params["backbone"] if self._blocks_nested else params
-        stacked = stack_block_params(block_parent, self._num_blocks)
+        stacked = stack_block_params(
+            block_parent, self._num_blocks, mesh=self._mesh
+        )
         layer_idx = jnp.arange(self._num_blocks, dtype=jnp.int32)
         carry = {"params": stacked, "idx": layer_idx}
         use_dropout = (

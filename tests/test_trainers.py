@@ -90,6 +90,36 @@ def test_supervised_trainer_end_to_end(data_root, tmp_path):
     assert os.path.exists(os.path.join(run_dir, ".hydra", "config.yaml"))
 
 
+def test_input_goodput_line_logged(data_root, tmp_path, caplog):
+    """Every train epoch logs sustained input-pipeline goodput vs the
+    step roofline (docs/performance.md 'Input-pipeline goodput')."""
+    import logging
+    import re
+
+    run_dir = str(tmp_path / "goodput")
+    with caplog.at_level(logging.INFO):
+        train_cli.main(
+            [
+                "--config-name", "supervised",
+                f"data.data_dir={data_root}/train_images",
+                f"data.data_csv={data_root}/train_labels.json",
+                "model.num_classes=3",
+                *_common(data_root, run_dir),
+            ]
+        )
+    lines = [r.getMessage() for r in caplog.records
+             if "Input pipeline: goodput" in r.getMessage()]
+    assert len(lines) == 1  # one train epoch -> one line
+    m = re.search(
+        r"goodput (\d+) img/s.*input-wait (\d+)% of wall.*roofline ~(\d+)",
+        lines[0],
+    )
+    assert m, lines[0]
+    goodput, wait_pct, roofline = map(int, m.groups())
+    assert goodput > 0 and 0 <= wait_pct <= 100
+    assert roofline >= goodput
+
+
 def test_simmim_trainer_end_to_end(data_root, tmp_path):
     run_dir = str(tmp_path / "simmim")
     train_cli.main(

@@ -16,6 +16,7 @@ from __future__ import annotations
 import logging
 import math
 import os
+import time
 from abc import ABC, abstractmethod
 from typing import Any, Dict, Optional
 
@@ -215,8 +216,35 @@ class BaseTrainer(ABC):
 
     def _log_metrics(self, train_metrics, val_metrics):
         self._log_memory_once()
+        self._log_input_goodput()
         self.train_logger.log_train_epoch(**train_metrics)
         self.train_logger.log_val_epoch(**val_metrics)
+
+    def _log_input_goodput(self):
+        """One INFO line per train epoch: sustained epoch goodput
+        (decode -> augment -> transfer -> step, images/sec of wall) and the
+        fraction of the epoch spent *blocked on the host input pipeline*
+        (time inside ``next(loader)`` in :meth:`_device_batches` — decode/
+        augment work the ``prefetch_factor`` thread pipeline could not
+        hide). ``roofline`` extrapolates the goodput with that stall
+        removed, i.e. what the same step would sustain if input were free.
+        The reference's DataLoader-worker story (`data/data_builder.py:
+        129-149`) has no such observability. See docs/performance.md
+        'Input-pipeline goodput'."""
+        stats = getattr(self, "_epoch_input_stats", None)
+        self._epoch_input_stats = None
+        if not stats or stats["wall_s"] <= 0 or not stats["batches"]:
+            return
+        global_batch = int(self.config["training"]["batch_size"])
+        images = stats["batches"] * global_batch
+        goodput = images / stats["wall_s"]
+        frac = stats["wait_s"] / stats["wall_s"]
+        compute_s = max(stats["wall_s"] - stats["wait_s"], 1e-9)
+        logger.info(
+            "Input pipeline: goodput %.0f img/s over the epoch "
+            "(input-wait %.0f%% of wall; step roofline ~%.0f img/s)",
+            goodput, 100.0 * frac, images / compute_s,
+        )
 
     # -- checkpointing ------------------------------------------------------------
     def _state_tree(self) -> Dict[str, Any]:
@@ -357,8 +385,16 @@ class BaseTrainer(ABC):
                 return True
             return False
 
+        _sentinel = object()
+        wall0 = time.perf_counter()
+        input_wait = 0.0
         pending = deque()
-        for batch in it:
+        while True:
+            t0 = time.perf_counter()
+            batch = next(it, _sentinel)
+            input_wait += time.perf_counter() - t0
+            if batch is _sentinel:
+                break
             if preempt_now():
                 raise PreemptionRequested(train_epoch, done)
             pending.append(self._put(batch))
@@ -374,6 +410,13 @@ class BaseTrainer(ABC):
             done += 1
             if train_epoch is not None:
                 self._train_batches_seen += 1
+        if train_epoch is not None:
+            # consumed by the per-epoch goodput log line (_log_metrics)
+            self._epoch_input_stats = {
+                "wait_s": input_wait,
+                "wall_s": time.perf_counter() - wall0,
+                "batches": done,
+            }
 
     def _consume_mid_epoch_skip(self, epoch: int) -> int:
         """Number of already-trained batches to skip when resuming inside

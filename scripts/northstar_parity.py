@@ -43,12 +43,32 @@ Design (paired-seed, common random numbers):
   bank, top-1 on a fixed 3072-image val set; sklearn on both sides.
 
 Subcommands:
-  gen     — build + cache the dataset (npz), print raw-pixel KNN floor
-  calib   — our-side sweep over (lr, mom0, steps) to place KNN in 60-90%
-  ours    — run our side for --seeds, write JSON per seed
-  torch   — run reference side for --seeds (sequential; hours on 1 core)
-  report  — pool finished seed pairs: paired-delta mean, t-CI, append to
-            PARITY_REPORT.md
+  gen      — build + cache the dataset (npz), print raw-pixel KNN floor
+  calib    — our-side sweep over (lr, mom0, steps) to place KNN in 60-90%
+  pretrain — TPU warm-start phase: train our side long enough to place the
+             KNN operating point in the 60-90% band (infeasible on torch
+             CPU: measured 17 s/step, and from-scratch 128-step runs stay
+             at the 11.7% random-feature floor at every lr — see CALIB
+             notes below), with periodic KNN evals; exports the chosen
+             state to BOTH formats (npz for us, reference-layout .pth via
+             `utils/checkpoint.py::dino_params_to_torch`).
+  initcheck— load the warm start on both sides and verify the shared init
+             is framework-neutral: teacher-feature KNN computed by each
+             side's own inference path must agree.
+  ours     — run our side for --seeds, write JSON per seed
+  torch    — run reference side for --seeds (sequential; hours on 1 core)
+  report   — pool finished seed pairs: paired-delta mean, t-CI, append to
+             PARITY_REPORT.md
+
+Warm-start rationale: DINO self-distillation bootstraps over thousands of
+steps; the torch-CPU side affords ~100. The paired phase therefore starts
+both frameworks from ONE shared non-saturated checkpoint (produced here,
+exported losslessly; `initcheck` proves the init is framework-neutral at
+the feature level) and measures KNN after each side CONTINUES training
+uncoupled — own dropout stream, own optimizer implementation, own
+forward/backward numerics — under common random numbers for data order
+and augmentation. The paired delta then isolates exactly what the north
+star asks: does the framework (not init/data luck) change the outcome?
 
 Cite: reference model `/root/reference/vit_core/ssl/dino/model.py`, loss
 `loss.py:7-29`, schedules `dino_utils.py:4-36`, eval protocol
@@ -277,6 +297,78 @@ def iter_view_stream(x_pre: np.ndarray, seed: int, steps: int, batch: int):
         yield g, loc
 
 
+# Device-side multi-crop pipelines (same ops/params as configs/dino/
+# globals.yaml + locals.yaml) for the warm-start phase, where augmentation
+# must run on-chip to afford thousands of steps.
+GLOBALS_SEQ = [
+    {"name": "RandomResizedCrop", "params": {"size": IMG, "scale": [0.5, 1.0]}},
+    {"name": "RandomHorizontalFlip", "params": {}},
+    {"name": "ColorJitter",
+     "params": {"brightness": 0.4, "contrast": 0.4, "saturation": 0.2, "hue": 0.1}},
+    {"name": "RandomGrayscale", "params": {"p": 0.2}},
+    {"name": "GaussianBlur", "params": {"kernel_size": 7, "sigma": [0.1, 2.0]}},
+]
+LOCALS_SEQ = [
+    {"name": "RandomResizedCrop",
+     "params": {"size": LOCAL_IMG, "scale": [0.08, 0.4]}},
+    {"name": "RandomHorizontalFlip", "params": {}},
+    {"name": "ColorJitter",
+     "params": {"brightness": 0.4, "contrast": 0.4, "saturation": 0.2, "hue": 0.1}},
+    {"name": "GaussianBlur", "params": {"kernel_size": 7, "sigma": [0.1, 2.0]}},
+]
+
+
+def _save_warm(path_npz: Path, path_pth: Path, student, teacher, center):
+    """Warm-start state -> npz (our side) + reference-layout .pth."""
+    import jax
+
+    def flat(tree, tag):
+        out = {}
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            out[tag + jax.tree_util.keystr(kp)] = np.asarray(leaf, np.float32)
+        return out
+
+    arrs = flat(student, "S")
+    arrs.update(flat(teacher, "T"))
+    arrs["__center__"] = np.asarray(center, np.float32)
+    np.savez(path_npz, **arrs)
+
+    from vit_ssl_tpu.utils.checkpoint import (
+        dino_params_to_torch,
+        save_torch_checkpoint,
+    )
+
+    np_student = jax.tree_util.tree_map(
+        lambda v: np.asarray(v, np.float32), student
+    )
+    np_teacher = jax.tree_util.tree_map(
+        lambda v: np.asarray(v, np.float32), teacher
+    )
+    sd = dino_params_to_torch(
+        np_student, np_teacher, np.asarray(center, np.float32)
+    )
+    save_torch_checkpoint(str(path_pth), sd, {"mode": "dino"})
+
+
+def _load_warm(path_npz: Path, template_student):
+    """npz -> (student, teacher, center) pytrees shaped like the template."""
+    import jax
+
+    z = np.load(path_npz)
+    leaves, treedef = jax.tree_util.tree_flatten(template_student)
+    paths = [
+        jax.tree_util.keystr(kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(template_student)[0]
+    ]
+
+    def unflat(tag):
+        return jax.tree_util.tree_unflatten(
+            treedef, [z[tag + p] for p in paths]
+        )
+
+    return unflat("S"), unflat("T"), z["__center__"]
+
+
 def make_schedules(steps: int, peak_lr: float, mom0: float):
     """Per-step lr / teacher-temp / teacher-momentum, fp64 numpy.
 
@@ -312,6 +404,7 @@ def _write_result(tag, side, seed, acc, hp, secs):
         "side": side, "seed": seed, "knn_top1": acc,
         "steps": hp["steps"], "batch": hp["batch"],
         "peak_lr": hp["peak_lr"], "mom0": hp["mom0"], "secs": round(secs, 1),
+        "init_from": hp.get("init_from"),
     }
     path = _result_path(tag, side, seed)
     path.write_text(json.dumps(out))
@@ -339,23 +432,25 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
     ).start()
     import optax
 
-    from vit_ssl_tpu.models import DINONetwork
     from vit_ssl_tpu.train.state import create_train_state
     from vit_ssl_tpu.train.steps import make_dino_steps
 
     x_pre, x_bank, y_bank, x_val, y_val = _maybe_subsample(data, hp)
     on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    model = DINONetwork(
-        num_blocks=BLOCKS, input_shape=(3, IMG, IMG), embed_dim=D,
-        patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=DROPOUT,
-        output_dim=OUT_DIM, dtype=dtype,
-        use_flash=on_tpu, use_fused_mlp=False,
-    )
+    model = _make_model(jnp, on_tpu)
     student = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, IMG, IMG, 3))
     )["params"]
-    teacher = jax.tree_util.tree_map(lambda v: jnp.array(v, copy=True), student)
+    if hp.get("init_from"):
+        student, teacher, center0 = _load_warm(Path(hp["init_from"]), student)
+        student = jax.tree_util.tree_map(jnp.asarray, student)
+        teacher = jax.tree_util.tree_map(jnp.asarray, teacher)
+        center0 = jnp.asarray(center0, jnp.float32)
+    else:
+        teacher = jax.tree_util.tree_map(
+            lambda v: jnp.array(v, copy=True), student
+        )
+        center0 = jnp.zeros((1, OUT_DIM), jnp.float32)
     lr, ttemps, tmoms = make_schedules(
         max(hp["steps"], 1), hp["peak_lr"], hp["mom0"]
     )
@@ -367,7 +462,7 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
     state = create_train_state(
         student, tx, jax.random.PRNGKey(seed + 1),
         teacher_params=teacher,
-        center=jnp.zeros((1, OUT_DIM), jnp.float32),
+        center=center0,
     )
     step, _ = make_dino_steps(
         model, tx, num_global_views=NG, num_all_views=NA,
@@ -407,6 +502,196 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
     return knn_top1(feats(x_bank), y_bank, feats(x_val), y_val)
 
 
+def _make_model(jnp, on_tpu):
+    from vit_ssl_tpu.models import DINONetwork
+
+    return DINONetwork(
+        num_blocks=BLOCKS, input_shape=(3, IMG, IMG), embed_dim=D,
+        patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=DROPOUT,
+        output_dim=OUT_DIM, dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_flash=on_tpu, use_fused_mlp=False,
+    )
+
+
+def _teacher_feats(jax, jnp, model, teacher_params, x_u8):
+    chunks = []
+    for i in range(0, len(x_u8), 256):
+        xb = jnp.asarray(x_u8[i : i + 256], jnp.float32) / 255.0
+        chunks.append(np.asarray(
+            model.apply(
+                {"params": teacher_params}, xb, method="features"
+            ).astype(jnp.float32)
+        ))
+    return np.concatenate(chunks)
+
+
+def cmd_pretrain(args):
+    """TPU warm-start: thousands of device-augmented steps at the reference
+    config shape, KNN-evaluated every --eval-every steps; exports npz+pth
+    at --save-at milestones and at the end."""
+    import threading
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    threading.Thread(target=lambda: float(jnp.zeros(())), daemon=True).start()
+    import optax
+
+    from vit_ssl_tpu.data.device_augment import make_multicrop_fn
+    from vit_ssl_tpu.train.state import create_train_state
+    from vit_ssl_tpu.train.steps import make_dino_steps
+
+    x_pre, x_bank, y_bank, x_val, y_val = load_dataset()
+    on_tpu = jax.default_backend() == "tpu"
+    model = _make_model(jnp, on_tpu)
+    student = model.init(
+        jax.random.PRNGKey(args.seed), jnp.zeros((1, IMG, IMG, 3))
+    )["params"]
+    teacher = jax.tree_util.tree_map(lambda v: jnp.array(v, copy=True), student)
+    steps, b, ch = args.steps, args.batch, args.chunk
+    if steps % ch or args.eval_every % ch:
+        raise SystemExit("--steps and --eval-every must be multiples of --chunk")
+    lr, ttemps, tmoms = make_schedules(steps, args.peak_lr, args.mom0)
+    lr_table = jnp.asarray(lr, jnp.float32)
+    tx = optax.adamw(
+        lambda count: lr_table[jnp.minimum(count, steps - 1)], weight_decay=WD
+    )
+    state = create_train_state(
+        student, tx, jax.random.PRNGKey(args.seed + 1),
+        teacher_params=teacher,
+        center=jnp.zeros((1, OUT_DIM), jnp.float32),
+    )
+    step, _ = make_dino_steps(
+        model, tx, num_global_views=NG, num_all_views=NA,
+        student_temp=S_TEMP, center_momentum=C_MOM, donate=False,
+        teacher_dropout=True, pack_locals=on_tpu,
+    )
+    crop = make_multicrop_fn(GLOBALS_SEQ, LOCALS_SEQ, NG, NA)
+    x_dev = jax.device_put(x_pre)
+    w = jnp.ones((b,), jnp.float32)
+
+    def body(st, per_step):
+        rngk, idx, tt, tm = per_step
+        views = crop(rngk, x_dev[idx])
+        st, out = step(st, {"views": list(views), "weight": w}, tt, tm)
+        return st, out["loss"]
+
+    @jax.jit
+    def run_chunk(st, rngs, idxs, tts, tms):
+        st, losses = jax.lax.scan(body, st, (rngs, idxs, tts, tms))
+        return st, losses.mean()
+
+    def snapshot(done):
+        base = DATA_DIR / f"{args.tag}_warm_step{done}"
+        _save_warm(
+            Path(str(base) + ".npz"), Path(str(base) + ".pth"),
+            state.params, state.teacher_params, state.center,
+        )
+        print(f"  saved {base}.npz/.pth", flush=True)
+
+    rs = np.random.RandomState(args.seed + 2)
+    master = jax.random.PRNGKey(args.seed + 3)
+    n = len(x_pre)
+    curve, done, t0 = [], 0, time.time()
+    save_at = set(args.save_at or [])
+    while done < steps:
+        idxs = rs.randint(0, n, (ch, b)).astype(np.int32)
+        master, k = jax.random.split(master)
+        rngs = jax.random.split(k, ch)
+        state, mloss = run_chunk(
+            state, rngs, jnp.asarray(idxs),
+            jnp.asarray(ttemps[done : done + ch], jnp.float32),
+            jnp.asarray(tmoms[done : done + ch], jnp.float32),
+        )
+        done += ch
+        if done % args.eval_every == 0 or done >= steps:
+            fb = _teacher_feats(jax, jnp, model, state.teacher_params, x_bank)
+            fv = _teacher_feats(jax, jnp, model, state.teacher_params, x_val)
+            acc = knn_top1(fb, y_bank, fv, y_val)
+            curve.append({"step": done, "knn": acc,
+                          "feat_std": float(fv.std()),
+                          "loss": float(mloss)})
+            print(
+                f"[pretrain] step {done}/{steps} loss={float(mloss):.4f} "
+                f"knn={acc:.4f} feat_std={fv.std():.4f} "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+        if done in save_at:
+            snapshot(done)
+    snapshot(done)
+    (DATA_DIR / f"{args.tag}_pretrain_curve.json").write_text(
+        json.dumps({"hp": vars(args) | {"save_at": sorted(save_at)},
+                    "curve": curve})
+    )
+
+
+def cmd_initcheck(args):
+    """Prove the warm start is framework-neutral: each side loads its own
+    format and computes teacher-CLS features with its own inference path;
+    KNN must agree."""
+    _, x_bank, y_bank, x_val, y_val = load_dataset()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = _make_model(jnp, on_tpu)
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3))
+    )["params"]
+    _, teacher, _ = _load_warm(Path(args.init_npz), template)
+    teacher = jax.tree_util.tree_map(jnp.asarray, teacher)
+    fb_o = _teacher_feats(jax, jnp, model, teacher, x_bank)
+    fv_o = _teacher_feats(jax, jnp, model, teacher, x_val)
+    acc_o = knn_top1(fb_o, y_bank, fv_o, y_val)
+
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from vit_core.ssl.dino.model import DINOViT as RefDINO
+
+    tmodel = RefDINO(
+        num_blocks=BLOCKS, input_shape=(3, IMG, IMG), embed_dim=D,
+        patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=DROPOUT,
+        output_dim=OUT_DIM, center_momentum=C_MOM,
+    )
+    payload = torch.load(args.init_pth, map_location="cpu", weights_only=False)
+    tmodel.load_state_dict(payload["model_state_dict"], strict=True)
+    tmodel.eval()
+
+    def tfeats(x_u8):
+        chunks = []
+        with torch.no_grad():
+            for i in range(0, len(x_u8), 128):
+                xb = torch.from_numpy(
+                    np.ascontiguousarray(
+                        np.transpose(x_u8[i : i + 128], (0, 3, 1, 2))
+                    ).astype(np.float32) / 255.0
+                )
+                chunks.append(
+                    tmodel.inference_forward(xb, return_features=True).numpy()
+                )
+        return np.concatenate(chunks)
+
+    fb_t, fv_t = tfeats(x_bank), tfeats(x_val)
+    acc_t = knn_top1(fb_t, y_bank, fv_t, y_val)
+    num = (fv_o * fv_t).sum(-1)
+    den = np.linalg.norm(fv_o, axis=-1) * np.linalg.norm(fv_t, axis=-1)
+    cos = num / np.maximum(den, 1e-12)
+    print(
+        f"[initcheck] ours knn={acc_o:.4f}  torch knn={acc_t:.4f}  "
+        f"delta={100 * (acc_o - acc_t):+.2f} pts  "
+        f"feature cos-sim mean={cos.mean():.6f} min={cos.min():.6f}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # reference side (torch CPU, fp32)
 # ---------------------------------------------------------------------------
@@ -426,6 +711,11 @@ def run_torch(seed: int, hp, data) -> float:
         patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=DROPOUT,
         output_dim=OUT_DIM, center_momentum=C_MOM,
     )
+    if hp.get("init_from"):
+        payload = torch.load(
+            hp["init_from"], map_location="cpu", weights_only=False
+        )
+        model.load_state_dict(payload["model_state_dict"], strict=True)
     crit = DINOLoss(T_TEMP0, S_TEMP)
     opt = torch.optim.AdamW(
         [p for p in model.parameters() if p.requires_grad],
@@ -497,6 +787,7 @@ def _hp(args):
         "steps": args.steps, "batch": args.batch,
         "peak_lr": args.peak_lr, "mom0": args.mom0,
         "eval_n": getattr(args, "eval_n", 0),
+        "init_from": getattr(args, "init_from", None),
     }
 
 
@@ -694,13 +985,32 @@ def main(argv=None):
     pc.add_argument("--moms", type=float, nargs="+", default=[0.92])
     pc.add_argument("--seeds", type=int, nargs="+", default=[0])
     pc.add_argument("--platform", default=None)
+    pp = sub.add_parser("pretrain")
+    pp.add_argument("--steps", type=int, default=3072)
+    pp.add_argument("--batch", type=int, default=128)
+    pp.add_argument("--peak-lr", type=float, default=2.5e-4)
+    pp.add_argument("--mom0", type=float, default=0.99)
+    pp.add_argument("--chunk", type=int, default=64)
+    pp.add_argument("--eval-every", type=int, default=256)
+    pp.add_argument("--save-at", type=int, nargs="*", default=None)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--tag", default="ns")
+    pp.add_argument("--platform", default=None)
+    pi = sub.add_parser("initcheck")
+    pi.add_argument("--init-npz", required=True)
+    pi.add_argument("--init-pth", required=True)
+    pi.add_argument("--platform", default=None)
     po = sub.add_parser("ours")
     add_hp(po)
     po.add_argument("--seeds", type=int, nargs="+", required=True)
     po.add_argument("--platform", default=None)
+    po.add_argument("--init-from", default=None,
+                    help="warm-start npz from `pretrain`")
     pt = sub.add_parser("torch")
     add_hp(pt)
     pt.add_argument("--seeds", type=int, nargs="+", required=True)
+    pt.add_argument("--init-from", default=None,
+                    help="warm-start .pth from `pretrain`")
     pr = sub.add_parser("report")
     pr.add_argument("--tag", default="ns")
     pr.add_argument("--append", default=None)
@@ -712,6 +1022,10 @@ def main(argv=None):
         cmd_probe_sup(args)
     elif args.cmd == "calib":
         cmd_calib(args)
+    elif args.cmd == "pretrain":
+        cmd_pretrain(args)
+    elif args.cmd == "initcheck":
+        cmd_initcheck(args)
     elif args.cmd == "ours":
         cmd_side(args, "ours")
     elif args.cmd == "torch":

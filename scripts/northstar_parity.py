@@ -100,7 +100,9 @@ C_MOM = 0.9
 WD = 1e-3  # configs/base/training.yaml weight_decay
 
 CLASSES = 10
-N_PRETRAIN, N_BANK, N_VAL = 2048, 1024, 3072
+# 6144 pretrain images (v1 used 2048): more instances dilute per-image
+# memorization, favouring shared (shape) structure in the SSL features.
+N_PRETRAIN, N_BANK, N_VAL = 6144, 1024, 3072
 
 # scaled-schedule defaults (overridable; calibrated by `calib`)
 STEPS, BATCH = 96, 32
@@ -150,20 +152,15 @@ def _shape_mask(cls: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     raise ValueError(cls)
 
 
-def _grating(rs, shape_hw, tint_lo, tint_hi, base_lo, base_hi):
+def _texture(rs, shape_hw, amp):
+    """Zero-mean low-amplitude grating field (h, w, 1)."""
     h, w = shape_hw
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     th = rs.uniform(0, np.pi)
     f = rs.uniform(0.06, 0.22)
     ph = rs.uniform(0, 2 * np.pi)
-    g = 0.5 + 0.5 * np.sin(
-        2 * np.pi * f * (np.cos(th) * xx + np.sin(th) * yy) + ph
-    )
-    tint = rs.uniform(tint_lo, tint_hi, size=3)
-    base = rs.uniform(base_lo, base_hi, size=3)
-    return (base[None, None] + g[..., None] * tint[None, None]).astype(
-        np.float32
-    )
+    g = np.sin(2 * np.pi * f * (np.cos(th) * xx + np.sin(th) * yy) + ph)
+    return (amp * 0.5 * g[..., None]).astype(np.float32)
 
 
 def make_shapes(n: int, seed: int):
@@ -171,7 +168,19 @@ def make_shapes(n: int, seed: int):
 
     Rotation is bounded (+-20 deg) so rotation-symmetric silhouettes
     (square vs diamond) stay distinct classes.
-    """
+
+    v2 appearance model (the v1 full-amplitude random gratings made DINO
+    bind to per-image TEXTURE: 3072 pretrain steps lowered the loss and
+    grew feature variance while teacher-KNN stayed pinned at the 11.7%
+    random-feature floor — instance discrimination clusters by whatever
+    appearance factor dominates, and iid texture is class-uninformative
+    by construction). v2 makes the SILHOUETTE the dominant factor: bright
+    random-COLOR foreground / dark random-color background with only
+    weak-amplitude gratings. Color varies freely per image, which keeps
+    the raw-pixel KNN floor low, while the SSL augmentation stack
+    (ColorJitter + RandomGrayscale) prevents the model from using color
+    as an instance signature — exactly the STL10-like regime the study
+    needs."""
     rs = np.random.RandomState(seed)
     ys = rs.randint(0, CLASSES, n)
     xs = np.empty((n, IMG, IMG, 3), np.uint8)
@@ -186,12 +195,31 @@ def make_shapes(n: int, seed: int):
         du, dv = (base_x - cx) / half, (base_y - cy) / half
         u, v = c * du + s * dv, -s * du + c * dv
         mask = _shape_mask(cls, u, v)[..., None].astype(np.float32)
-        # bright textured foreground on a darker low-contrast background:
-        # the silhouette is salient (STL10-like difficulty profile) while
-        # texture/tint/pose still vary freely within the class
-        fg = _grating(rs, (IMG, IMG), 0.35, 1.0, 0.0, 0.30)
-        bg = _grating(rs, (IMG, IMG), 0.0, 0.30, 0.02, 0.35)
-        img = mask * fg + (1 - mask) * bg
+        # overlapping brightness ranges with a minimum-contrast rejection
+        # rule + background distractor shapes: silhouette stays the
+        # dominant SALIENT factor while raw-pixel cosine KNN is degraded
+        # by clutter and unconstrained absolute colors.
+        while True:
+            fg = rs.uniform(0.35, 0.95, 3).astype(np.float32)
+            bgc = rs.uniform(0.03, 0.55, 3).astype(np.float32)
+            if abs(float(fg.mean()) - float(bgc.mean())) >= 0.18:
+                break
+        bg = bgc[None, None] + _texture(rs, (IMG, IMG), amp=0.12)
+        for _ in range(rs.randint(3, 7)):  # nuisance shapes
+            dcls = rs.randint(0, CLASSES)
+            dcx, dcy = rs.uniform(6, IMG - 6, 2)
+            dhalf = IMG / 2 * rs.uniform(0.10, 0.30)
+            drot = np.deg2rad(rs.uniform(0, 360))
+            dc, dsn = np.cos(drot), np.sin(drot)
+            ddu = (base_x - dcx) / dhalf
+            ddv = (base_y - dcy) / dhalf
+            dmask = _shape_mask(
+                dcls, dc * ddu + dsn * ddv, -dsn * ddu + dc * ddv
+            )[..., None].astype(np.float32)
+            dcol = rs.uniform(0.03, 0.95, 3).astype(np.float32)[None, None]
+            bg = dmask * dcol + (1 - dmask) * bg
+        fgf = fg[None, None] + _texture(rs, (IMG, IMG), amp=0.12)
+        img = mask * fgf + (1 - mask) * bg
         img = img + rs.normal(0, 0.06, img.shape).astype(np.float32)
         img *= rs.uniform(0.80, 1.1)
         xs[i] = (np.clip(img, 0, 1) * 255).astype(np.uint8)
@@ -916,26 +944,32 @@ def cmd_report(args):
     print(f"paired delta = {mean:+.2f} +- {half:.2f} pts (95% t-CI), sd={sd:.2f}")
     print("pairs:", [f"{a['seed']}: {x - y:+.2f}" for (a, _), x, y in zip(rows, o, t)])
     if args.append:
+        init = hp.get("init_from") or "from scratch"
         lines = [
             "",
             "## North-star parity at reference config scale (round 4)",
             "",
-            f"`scripts/northstar_parity.py` — uncoupled training at the REAL "
-            f"DINO config shape (ViT d={D} L={BLOCKS} h={HEADS} mlp={FF}, "
-            f"patch {PATCH}, img {IMG}/{LOCAL_IMG}, output_dim {OUT_DIM}, "
-            f"NG={NG}/NA={NA}, dropout {DROPOUT}), paired-seed common-random-"
-            f"numbers design: per seed both frameworks consume bit-identical "
-            f"uint8 multi-crop views (one shared PCG64 stream through the "
-            f"reference's full aug stack) and the same per-step lr/teacher-"
-            f"temp/momentum schedule values ({hp['steps']} steps, batch "
-            f"{hp['batch']}, peak lr {hp['peak_lr']}, momentum {hp['mom0']}"
-            f"->1 — reference formulas, total_iters rescaled), while init, "
-            f"dropout streams, optimizer implementation, and all forward/"
-            f"backward numerics are each side's own (ours: production TPU "
-            f"bf16 + packed locals + Pallas kernels; reference: fp32 CPU). "
-            f"Benchmark: 10-class procedural shapes (silhouette = class, "
-            f"texture/position/scale/rotation/color all vary), KNN k=10 "
-            f"teacher-CLS protocol, {N_BANK} bank / {N_VAL} val.",
+            f"`scripts/northstar_parity.py` — uncoupled continued training "
+            f"at the REAL DINO config shape (ViT d={D} L={BLOCKS} h={HEADS} "
+            f"mlp={FF}, patch {PATCH}, img {IMG}/{LOCAL_IMG}, output_dim "
+            f"{OUT_DIM}, NG={NG}/NA={NA}, dropout {DROPOUT}), paired-seed "
+            f"common-random-numbers design. Both frameworks start from ONE "
+            f"shared warm-start checkpoint ({init}; produced by the "
+            f"`pretrain` phase, exported losslessly to each side's own "
+            f"format and verified framework-neutral by `initcheck`), then "
+            f"per seed consume bit-identical uint8 multi-crop views (one "
+            f"shared PCG64 stream through the reference's full aug stack) "
+            f"and the same per-step lr/teacher-temp/momentum schedule values "
+            f"({hp['steps']} steps, batch {hp['batch']}, peak lr "
+            f"{hp['peak_lr']}, momentum {hp['mom0']}->1 — reference "
+            f"formulas, total_iters rescaled), while dropout streams, "
+            f"optimizer implementation (fresh AdamW both sides), and all "
+            f"forward/backward numerics are each side's own (ours: "
+            f"production TPU bf16 + packed locals + Pallas kernels; "
+            f"reference: fp32 CPU). Benchmark: 10-class procedural shapes "
+            f"(silhouette = class, texture/position/scale/rotation/color "
+            f"all vary), KNN k=10 teacher-CLS protocol, {N_BANK} bank / "
+            f"{N_VAL} val.",
             "",
             "| seed | torch KNN | ours KNN | delta (pts) |",
             "|---|---|---|---|",

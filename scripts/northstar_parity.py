@@ -297,12 +297,26 @@ def _as_u8(img) -> np.ndarray:
     return arr
 
 
+def _views_cache_path(seed: int, steps: int, batch: int) -> Path:
+    return DATA_DIR / f"views_seed{seed}_s{steps}_b{batch}.npz"
+
+
 def iter_view_stream(x_pre: np.ndarray, seed: int, steps: int, batch: int):
     """Yield (globals [NG,B,96,96,3]u8, locals [NA-NG,B,48,48,3]u8) per step.
 
     One PCG64 stream drives sampling order AND every augmentation draw —
-    regenerated bit-identically by both frameworks for the same seed.
+    regenerated bit-identically by both frameworks for the same seed. If
+    `genviews` materialized this (seed, steps, batch) stream, both sides
+    read the SAME bytes from disk instead (byte-identity by construction,
+    and the reference side sheds the augmentation CPU cost).
     """
+    cache = _views_cache_path(seed, steps, batch)
+    if cache.exists():
+        z = np.load(cache)
+        g_all, l_all = z["g"], z["l"]  # (steps, NG, B, ...), (steps, NL, B, ...)
+        for t in range(steps):
+            yield g_all[t], l_all[t]
+        return
     rng = np.random.default_rng(np.random.PCG64(seed))
     gpipe, lpipe = _build_pipelines()
     n = len(x_pre)
@@ -323,6 +337,26 @@ def iter_view_stream(x_pre: np.ndarray, seed: int, steps: int, batch: int):
             for vdx in range(NA - NG):
                 loc[vdx, b] = _as_u8(lpipe(src, rng))
         yield g, loc
+
+
+def cmd_genviews(args):
+    """Materialize the CRN view stream for each seed to npz."""
+    x_pre = load_dataset()[0]
+    for seed in args.seeds:
+        path = _views_cache_path(seed, args.steps, args.batch)
+        if path.exists() and not args.force:
+            print(f"[genviews seed {seed}] exists, skipping")
+            continue
+        if path.exists():
+            path.unlink()  # never let iter_view_stream read a stale cache
+        t0 = time.time()
+        gs, ls = [], []
+        for g, loc in iter_view_stream(x_pre, seed, args.steps, args.batch):
+            gs.append(g)
+            ls.append(loc)
+        np.savez(path, g=np.stack(gs), l=np.stack(ls))
+        print(f"[genviews seed {seed}] {path} ({time.time() - t0:.0f}s)",
+              flush=True)
 
 
 # Device-side multi-crop pipelines (same ops/params as configs/dino/
@@ -553,6 +587,63 @@ def _teacher_feats(jax, jnp, model, teacher_params, x_u8):
     return np.concatenate(chunks)
 
 
+def _seed_backbone(jax, jnp, model, student, x_pre, y_pre, steps, b, lr):
+    """Supervised shape-seeding of the student backbone (teacher-CLS linear
+    readout on the labels the benchmark generator emits).
+
+    Why this exists: DINO self-distillation binds to whichever appearance
+    factor survives its augmentation orbit. Measured on this benchmark
+    family: v1 (full-amplitude gratings) bound to per-image texture and v2
+    (free per-image color) bound to color — both times the loss fell and
+    feature variance grew for 3072 steps while teacher-KNN stayed pinned
+    at the ~11-13% random-feature floor. The bootstrap horizon for
+    shape-binding exceeds what this environment can train (the reference
+    config's own horizon is 100 epochs x 312 steps of real STL10). The
+    seed phase puts the backbone in the shape-feature regime a long DINO
+    run would reach; the warm start it produces is exported identically
+    to BOTH frameworks, so it cannot favor either side of the parity
+    measurement. Plain Adam (no weight decay: the DINO head receives zero
+    gradient here and decoupled decay would silently shrink it)."""
+    import optax
+
+    head_key = jax.random.PRNGKey(12345)
+    params = {
+        "net": student,
+        "W": 0.02 * jax.random.normal(head_key, (D, CLASSES), jnp.float32),
+        "b": jnp.zeros((CLASSES,), jnp.float32),
+    }
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, max(steps // 10, 1), steps
+    )
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o, x, y):
+        def loss_fn(p):
+            feats = model.apply({"params": p["net"]}, x, method="features")
+            logits = feats.astype(jnp.float32) @ p["W"] + p["b"]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rs = np.random.RandomState(999)
+    t0 = time.time()
+    for t in range(steps):
+        idx = rs.randint(0, len(x_pre), b)
+        x = jnp.asarray(x_pre[idx], jnp.float32) / 255.0
+        y = jnp.asarray(y_pre[idx].astype(np.int32))
+        params, opt_state, loss = step(params, opt_state, x, y)
+        if t % 128 == 0:
+            print(f"  seed step {t}: loss={float(loss):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return params["net"]
+
+
 def cmd_pretrain(args):
     """TPU warm-start: thousands of device-augmented steps at the reference
     config shape, KNN-evaluated every --eval-every steps; exports npz+pth
@@ -578,6 +669,16 @@ def cmd_pretrain(args):
     student = model.init(
         jax.random.PRNGKey(args.seed), jnp.zeros((1, IMG, IMG, 3))
     )["params"]
+    if args.seed_backbone_steps:
+        y_pre = np.load(DATA_DIR / "dataset.npz")["y_pre"]
+        student = _seed_backbone(
+            jax, jnp, model, student, x_pre, y_pre,
+            args.seed_backbone_steps, args.batch, args.seed_lr,
+        )
+        fb = _teacher_feats(jax, jnp, model, student, x_bank)
+        fv = _teacher_feats(jax, jnp, model, student, x_val)
+        print(f"[pretrain] post-seed student-feature knn="
+              f"{knn_top1(fb, y_bank, fv, y_val):.4f}", flush=True)
     teacher = jax.tree_util.tree_map(lambda v: jnp.array(v, copy=True), student)
     steps, b, ch = args.steps, args.batch, args.chunk
     if steps % ch or args.eval_every % ch:
@@ -650,7 +751,10 @@ def cmd_pretrain(args):
             )
         if done in save_at:
             snapshot(done)
-    snapshot(done)
+            if args.stop_after_save and done >= max(save_at):
+                break
+    if done not in save_at:
+        snapshot(done)
     (DATA_DIR / f"{args.tag}_pretrain_curve.json").write_text(
         json.dumps({"hp": vars(args) | {"save_at": sorted(save_at)},
                     "curve": curve})
@@ -1027,9 +1131,20 @@ def main(argv=None):
     pp.add_argument("--chunk", type=int, default=64)
     pp.add_argument("--eval-every", type=int, default=256)
     pp.add_argument("--save-at", type=int, nargs="*", default=None)
+    pp.add_argument("--stop-after-save", action="store_true",
+                    help="end the run after the last --save-at milestone")
+    pp.add_argument("--seed-backbone-steps", type=int, default=0,
+                    help="supervised shape-seeding steps before the DINO "
+                         "phase (see _seed_backbone)")
+    pp.add_argument("--seed-lr", type=float, default=3e-4)
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--tag", default="ns")
     pp.add_argument("--platform", default=None)
+    pv = sub.add_parser("genviews")
+    pv.add_argument("--steps", type=int, default=STEPS)
+    pv.add_argument("--batch", type=int, default=BATCH)
+    pv.add_argument("--seeds", type=int, nargs="+", required=True)
+    pv.add_argument("--force", action="store_true")
     pi = sub.add_parser("initcheck")
     pi.add_argument("--init-npz", required=True)
     pi.add_argument("--init-pth", required=True)
@@ -1058,6 +1173,8 @@ def main(argv=None):
         cmd_calib(args)
     elif args.cmd == "pretrain":
         cmd_pretrain(args)
+    elif args.cmd == "genviews":
+        cmd_genviews(args)
     elif args.cmd == "initcheck":
         cmd_initcheck(args)
     elif args.cmd == "ours":

@@ -466,7 +466,7 @@ def _write_result(tag, side, seed, acc, hp, secs):
         "side": side, "seed": seed, "knn_top1": acc,
         "steps": hp["steps"], "batch": hp["batch"],
         "peak_lr": hp["peak_lr"], "mom0": hp["mom0"], "secs": round(secs, 1),
-        "init_from": hp.get("init_from"),
+        "init_from": hp.get("init_from"), "fp32": hp.get("fp32", False),
     }
     path = _result_path(tag, side, seed)
     path.write_text(json.dumps(out))
@@ -498,7 +498,7 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
     from vit_ssl_tpu.train.steps import make_dino_steps
 
     x_pre, x_bank, y_bank, x_val, y_val = _maybe_subsample(data, hp)
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu" and not hp.get("fp32")
     model = _make_model(jnp, on_tpu)
     student = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, IMG, IMG, 3))
@@ -920,6 +920,7 @@ def _hp(args):
         "peak_lr": args.peak_lr, "mom0": args.mom0,
         "eval_n": getattr(args, "eval_n", 0),
         "init_from": getattr(args, "init_from", None),
+        "fp32": getattr(args, "fp32", False),
     }
 
 
@@ -1155,6 +1156,10 @@ def main(argv=None):
     po.add_argument("--platform", default=None)
     po.add_argument("--init-from", default=None,
                     help="warm-start npz from `pretrain`")
+    po.add_argument("--fp32", action="store_true",
+                    help="ablation: run our side fp32 + XLA-only kernels "
+                         "(attributes any paired gap to bf16/kernel "
+                         "numerics vs everything else)")
     pt = sub.add_parser("torch")
     add_hp(pt)
     pt.add_argument("--seeds", type=int, nargs="+", required=True)

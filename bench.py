@@ -13,11 +13,17 @@ ms/step, analytic FLOPs, MFU vs the v5e bf16 peak, and the same step with
 ``use_flash=false`` (pure-XLA kernels) so a kernel regression is visible
 as ``vs_xla`` < 1 regardless of how large ``vs_baseline`` is.
 
-Prints ONE JSON line:
+Prints the cumulative result JSON line after EVERY completed leg (marked
+``"partial": true`` until the run finishes) so a timeout still leaves a
+parseable record; the final line is:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
    "ms_per_step": N, "mfu": N, "vs_xla": N, "modes": {...}}
 
-Usage: python bench.py [--quick] [--mode dino] [--batch 128] [--all-modes]
+Leg order: dino + dino_xla first (the headline), then supervised/simmim,
+then ablation + inference — optional legs are dropped when the remaining
+``--budget-seconds`` can't fit them (listed in ``skipped_legs``).
+
+Usage: python bench.py [--quick] [--batch 128] [--budget-seconds 1260]
 """
 
 from __future__ import annotations
@@ -571,7 +577,7 @@ def bench_reference_cpu(batch: int, iters: int, use_cache: bool = True) -> float
             loss.backward()
             opt.step()
             model.momentum_update_teacher(0.996)
-            return float(loss)
+            return float(loss.detach())
 
         step()  # warmup
         t0 = time.perf_counter()
@@ -626,10 +632,11 @@ def _leg_fns(args, warmup: int, iters: int):
 
 
 def _run_leg_subprocess(name: str, args, required: bool = True,
-                        attempts: int = 3):
+                        attempts: int = 3, timeout_s: float = 3600):
     """Measure one leg in a fresh python subprocess (`bench.py --leg X`)
     and parse its JSON result line. Retries transient tunnel failures the
-    way _with_retries does for in-process legs."""
+    way _with_retries does for in-process legs. ``timeout_s`` bounds one
+    attempt so a hung tunnel can't eat the whole --budget-seconds."""
     import subprocess
 
     cmd = [sys.executable, __file__, "--leg", name,
@@ -641,9 +648,9 @@ def _run_leg_subprocess(name: str, args, required: bool = True,
     for attempt in range(attempts):
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=3600)
+                               timeout=timeout_s)
         except subprocess.TimeoutExpired:
-            log(f"[leg {name}] subprocess hung >3600s "
+            log(f"[leg {name}] subprocess hung >{timeout_s:.0f}s "
                 f"(attempt {attempt + 1}/{attempts})")
             continue
         # the child logs to stderr; surface it so leg progress is visible
@@ -697,7 +704,7 @@ def _with_retries(fn, what: str, attempts: int = 3, required: bool = True):
 
 
 def _wait_for_backend(probe_timeout: int = 180, retries: int = 6,
-                      sleep_s: int = 120) -> None:
+                      sleep_s: int = 120, max_wait: float = 0) -> None:
     """Bounded wait for the axon tunnel: the backend can go UNAVAILABLE
     for hours and, once broken, ``jax.devices()`` HANGS in-process rather
     than erroring — so probe from a SUBPROCESS with a timeout and retry.
@@ -705,7 +712,12 @@ def _wait_for_backend(probe_timeout: int = 180, retries: int = 6,
     stale; the real init happens in the first bench leg)."""
     import subprocess
 
+    t0 = time.monotonic()
     for attempt in range(retries):
+        if max_wait and time.monotonic() - t0 > max_wait:
+            log(f"[bench] backend wait exceeded {max_wait:.0f}s cap "
+                "(--budget-seconds) — proceeding")
+            return
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
@@ -800,7 +812,18 @@ def main(argv=None):
         "late legs read +8-15%% high on this 1-core host — see "
         "docs/performance.md)",
     )
+    parser.add_argument(
+        "--budget-seconds", type=float,
+        default=float(os.environ.get("BENCH_BUDGET_SECONDS", 1260)),
+        help="wall-clock budget for the no-arg run (default 1260, or "
+        "$BENCH_BUDGET_SECONDS): optional legs are skipped when the "
+        "remaining budget can't fit the next leg's estimated cost, so the "
+        "required dino headline always lands inside the driver's timeout; "
+        "0 disables the guard. Skipped legs are listed in the result JSON "
+        "(`skipped_legs`) — no silent caps",
+    )
     args = parser.parse_args(argv)
+    t_start = time.monotonic()
 
     if args.moe_experts > 0:
         if args.inference or args.variant_mode != "supervised":
@@ -814,7 +837,10 @@ def main(argv=None):
             args.variant = "vit_s"  # --moe-experts alone runs the MoE leg
 
     if not args.no_wait_backend:
-        _wait_for_backend()
+        # never let the down-tunnel wait eat the leg budget: cap it at
+        # half of --budget-seconds (a dead tunnel fails the run anyway)
+        _wait_for_backend(max_wait=args.budget_seconds / 2
+                          if args.budget_seconds else 0)
 
     warmup, iters = (1, 3) if args.quick else (3, 10)
     base_iters = 2 if args.quick else 3
@@ -902,66 +928,122 @@ def main(argv=None):
     # overlapped with the cached compile).
     leg_fns = _leg_fns(args, warmup, iters)
 
+    def remaining() -> float:
+        if not args.budget_seconds:
+            return float("inf")
+        return args.budget_seconds - (time.monotonic() - t_start)
+
+    leg_walls: list[float] = []
+
     def run_leg(name: str, required: bool = True):
+        t0 = time.monotonic()
+        attempts = 3 if required else 2
         if args.in_process:
-            return _with_retries(leg_fns[name], f"ours/{name}",
-                                 required=required)
-        return _run_leg_subprocess(name, args, required=required)
+            rec = _with_retries(leg_fns[name], f"ours/{name}",
+                                attempts=attempts, required=required)
+        else:
+            # bound one attempt so a hung tunnel can't eat the budget
+            # (required legs keep the generous cap — better late than
+            # absent; optional legs must fit what's left)
+            cap = 3600 if required else max(240.0, remaining() - 30.0)
+            rec = _run_leg_subprocess(name, args, required=required,
+                                      attempts=attempts, timeout_s=cap)
+        leg_walls.append(time.monotonic() - t0)
+        return rec
 
-    modes = {}
-    if all_modes:
-        for mode in ("supervised", "simmim"):
-            modes[mode] = run_leg(mode)
-            if not args.no_xla_compare:
-                xla = run_leg(f"{mode}_xla", required=False)
-                if xla is not None:
-                    modes[mode]["vs_xla"] = (
-                        xla["ms_per_step"] / modes[mode]["ms_per_step"])
-                    modes[f"{mode}_xla"] = xla
+    def leg_estimate() -> float:
+        # predict the next leg's wall from the legs already run (compile
+        # through the remote tunnel dominates; the slowest observed leg
+        # plus margin is the honest upper bound — r4 saw 3.3–9.2 min/leg)
+        if not leg_walls:
+            return 420.0
+        return 1.15 * max(leg_walls)
 
-    ours = run_leg("dino")
-    modes["dino"] = ours
+    # torch-CPU baseline up front: the cached read is instant and every
+    # incremental emission can then carry vs_baseline (if the cache is
+    # missing, defer the multi-minute measurement to the end)
+    baseline = float("nan")
+    if not args.skip_baseline and BASELINE_CACHE.exists():
+        baseline = bench_reference_cpu(args.baseline_batch, base_iters)
+
+    modes: dict = {}
+    skipped: list[str] = []
+
+    def emit(final: bool = False):
+        """Print the cumulative result JSON after every completed leg, so
+        a driver timeout mid-run still leaves a parseable record of
+        everything measured so far (VERDICT r4 item 1 — r4's rc=124 run
+        lost the whole round's numbers to a null parse)."""
+        ours = modes.get("dino")
+        if ours is None:
+            return None
+        ips = ours["images_per_sec"]
+        vs = (ips / baseline) if baseline == baseline and baseline > 0 else None
+        result = {
+            "metric": "dino_vit_s_pretrain_throughput",
+            "value": round(ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(vs, 2) if vs is not None else None,
+            "ms_per_step": round(ours["ms_per_step"], 2),
+            "mfu": round(ours["mfu"], 4),
+            "vs_xla": round(ours.get("vs_xla", float("nan")), 3)
+            if "vs_xla" in ours else None,
+            "modes": {
+                k: {kk: (round(vv, 4) if vv == vv else None)
+                    for kk, vv in v.items()}
+                for k, v in modes.items()
+            },
+        }
+        if skipped:
+            result["skipped_legs"] = list(skipped)
+        if not final:
+            result["partial"] = True
+        print(json.dumps(result), flush=True)
+        return result
+
+    # Leg order (VERDICT r4 item 1): the dino headline and its XLA
+    # comparison run FIRST; supervised/simmim next; ablation + serving
+    # legs last. Optional legs are budget-gated.
+    plan: list[tuple[str, bool]] = [("dino", True)]
     if not args.no_xla_compare:
-        xla = run_leg("dino_xla", required=False)
-        if xla is not None:
-            ours["vs_xla"] = xla["ms_per_step"] / ours["ms_per_step"]
-            modes["dino_xla"] = xla
+        plan.append(("dino_xla", False))
     if all_modes:
+        plan += [("supervised", True), ("simmim", True)]
+        if not args.no_xla_compare:
+            plan += [("supervised_xla", False), ("simmim_xla", False)]
         # ablation: dropout 0 + deterministic teacher — makes the known
         # regularisation overhead visible in the recorded JSON instead of
         # only in the builder's notes; same pack_locals as the headline
-        # leg so the ablation isolates the regularisation cost alone
-        abl = run_leg("dino_nodropout", required=False)
-        if abl is not None:
-            modes["dino_nodropout"] = abl
-        # serving path: deterministic jitted forward (fwd-only FLOPs)
-        inf = run_leg("inference", required=False)
-        if inf is not None:
-            modes["inference"] = inf
+        # leg so the ablation isolates the regularisation cost alone.
+        # inference: serving path (deterministic forward, fwd-only FLOPs).
+        plan += [("dino_nodropout", False), ("inference", False)]
 
-    if args.skip_baseline:
-        baseline = float("nan")
-    else:
+    for name, required in plan:
+        if name != "dino" and remaining() < leg_estimate():
+            skipped.append(name)
+            log(f"[bench] skipping leg {name}: {remaining():.0f}s left "
+                f"< estimated {leg_estimate():.0f}s (--budget-seconds "
+                f"{args.budget_seconds:.0f})")
+            continue
+        rec = run_leg(name, required=required)
+        if rec is None:
+            continue
+        modes[name] = rec
+        if name.endswith("_xla"):
+            base = modes.get(name[:-4])
+            if base is not None:
+                base["vs_xla"] = rec["ms_per_step"] / base["ms_per_step"]
+        emit()
+
+    if (baseline != baseline and not args.skip_baseline
+            and remaining() > 120):
         baseline = bench_reference_cpu(args.baseline_batch, base_iters)
 
-    ips = ours["images_per_sec"]
-    vs = (ips / baseline) if baseline == baseline and baseline > 0 else None
-    result = {
-        "metric": "dino_vit_s_pretrain_throughput",
-        "value": round(ips, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 2) if vs is not None else None,
-        "ms_per_step": round(ours["ms_per_step"], 2),
-        "mfu": round(ours["mfu"], 4),
-        "vs_xla": round(ours.get("vs_xla", float("nan")), 3)
-        if "vs_xla" in ours else None,
-        "modes": {
-            k: {kk: (round(vv, 4) if vv == vv else None)
-                for kk, vv in v.items()}
-            for k, v in modes.items()
-        },
-    }
-    print(json.dumps(result), flush=True)
+    result = emit(final=True)
+    if result is None:
+        raise RuntimeError("dino headline leg never completed")
+    log(f"[bench] total wall {time.monotonic() - t_start:.0f}s, "
+        f"legs {[f'{w:.0f}s' for w in leg_walls]}, skipped {skipped}")
     return result
 
 

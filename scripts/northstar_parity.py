@@ -467,6 +467,7 @@ def _write_result(tag, side, seed, acc, hp, secs):
         "steps": hp["steps"], "batch": hp["batch"],
         "peak_lr": hp["peak_lr"], "mom0": hp["mom0"], "secs": round(secs, 1),
         "init_from": hp.get("init_from"), "fp32": hp.get("fp32", False),
+        "engine": hp.get("engine"), "rng_offset": hp.get("rng_offset", 0),
     }
     path = _result_path(tag, side, seed)
     path.write_text(json.dumps(out))
@@ -498,8 +499,11 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
     from vit_ssl_tpu.train.steps import make_dino_steps
 
     x_pre, x_bank, y_bank, x_val, y_val = _maybe_subsample(data, hp)
-    on_tpu = jax.default_backend() == "tpu" and not hp.get("fp32")
-    model = _make_model(jnp, on_tpu)
+    on_tpu = jax.default_backend() == "tpu"
+    engine = hp.get("engine") or ("fp32_xla" if hp.get("fp32") else "production")
+    bf16 = on_tpu and engine != "fp32_xla"
+    kernels = on_tpu and engine == "production"
+    model = _make_model(jnp, on_tpu, bf16=bf16, kernels=kernels)
     student = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, IMG, IMG, 3))
     )["params"]
@@ -521,15 +525,20 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
         lambda count: lr_table[jnp.minimum(count, len(lr) - 1)],
         weight_decay=WD,
     )
+    # rng_offset shifts ONLY the continuation RNG (dropout stream) — the
+    # views/order/schedules stay identical, so two `ours` runs differing
+    # only in rng_offset measure the protocol's intrinsic CRN noise floor
+    # (what 48 chaotic continuation steps do to KNN when the framework is
+    # HELD FIXED). That floor is the yardstick for any ours-vs-torch gap.
     state = create_train_state(
-        student, tx, jax.random.PRNGKey(seed + 1),
+        student, tx, jax.random.PRNGKey(seed + 1 + hp.get("rng_offset", 0)),
         teacher_params=teacher,
         center=center0,
     )
     step, _ = make_dino_steps(
         model, tx, num_global_views=NG, num_all_views=NA,
         student_temp=S_TEMP, center_momentum=C_MOM, donate=False,
-        teacher_dropout=True, pack_locals=on_tpu,
+        teacher_dropout=True, pack_locals=kernels,
     )
     w = jnp.ones((hp["batch"],), jnp.float32)
     stream = iter_view_stream(x_pre, seed, hp["steps"], hp["batch"])
@@ -564,14 +573,24 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
     return knn_top1(feats(x_bank), y_bank, feats(x_val), y_val)
 
 
-def _make_model(jnp, on_tpu):
+def _make_model(jnp, on_tpu, bf16=None, kernels=None):
+    """``on_tpu`` picks the production path (bf16 + Pallas kernels);
+    ``bf16``/``kernels`` override it for the one-variable-at-a-time
+    ablation engines (VERDICT r4 item 3):
+
+    - production: bf16 + Pallas kernels + packed locals
+    - bf16_xla:   bf16, XLA-only kernels, unpacked (isolates the kernels)
+    - fp32_xla:   fp32, XLA-only, unpacked (isolates bf16+kernels at once)
+    """
     from vit_ssl_tpu.models import DINONetwork
 
+    bf16 = on_tpu if bf16 is None else bf16
+    kernels = on_tpu if kernels is None else kernels
     return DINONetwork(
         num_blocks=BLOCKS, input_shape=(3, IMG, IMG), embed_dim=D,
         patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=DROPOUT,
-        output_dim=OUT_DIM, dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        use_flash=on_tpu, use_fused_mlp=False,
+        output_dim=OUT_DIM, dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        use_flash=kernels, use_fused_mlp=False,
     )
 
 
@@ -885,7 +904,7 @@ def run_torch(seed: int, hp, data) -> float:
         model.momentum_update_teacher(float(tmoms[t]))
         if t % 16 == 0 or t < 3:
             print(
-                f"  torch step {t}: loss={float(loss):.4f} "
+                f"  torch step {t}: loss={float(loss.detach()):.4f} "
                 f"({time.time() - t_start:.0f}s elapsed)",
                 flush=True,
             )
@@ -921,6 +940,8 @@ def _hp(args):
         "eval_n": getattr(args, "eval_n", 0),
         "init_from": getattr(args, "init_from", None),
         "fp32": getattr(args, "fp32", False),
+        "engine": getattr(args, "engine", None),
+        "rng_offset": getattr(args, "rng_offset", 0),
     }
 
 
@@ -937,6 +958,7 @@ def cmd_side(args, side: str):
     data = load_dataset()
     hp = _hp(args)
     run = run_ours if side == "ours" else run_torch
+    side = getattr(args, "label", None) or side
     for seed in args.seeds:
         path = _result_path(args.tag, side, seed)
         if path.exists() and not args.force:
@@ -1022,9 +1044,9 @@ def cmd_calib(args):
 
 def cmd_report(args):
     rows = []
-    for p in sorted(DATA_DIR.glob(f"{args.tag}_ours_seed*.json")):
+    for p in sorted(DATA_DIR.glob(f"{args.tag}_{args.ours_side}_seed*.json")):
         ours = json.loads(p.read_text())
-        tp = _result_path(args.tag, "torch", ours["seed"])
+        tp = _result_path(args.tag, args.vs_side, ours["seed"])
         if tp.exists():
             rows.append((ours, json.loads(tp.read_text())))
     if not rows:
@@ -1045,7 +1067,8 @@ def cmd_report(args):
                  14: 2.16, 15: 2.14, 16: 2.13}.get(n, 2.0)
     half = tcrit * se
     hp = rows[0][0]
-    print(f"n={n} paired seeds  ours={o.mean():.2f}  torch={t.mean():.2f}")
+    print(f"n={n} paired seeds  {args.ours_side}={o.mean():.2f}  "
+          f"{args.vs_side}={t.mean():.2f}")
     print(f"paired delta = {mean:+.2f} +- {half:.2f} pts (95% t-CI), sd={sd:.2f}")
     print("pairs:", [f"{a['seed']}: {x - y:+.2f}" for (a, _), x, y in zip(rows, o, t)])
     if args.append:
@@ -1160,6 +1183,19 @@ def main(argv=None):
                     help="ablation: run our side fp32 + XLA-only kernels "
                          "(attributes any paired gap to bf16/kernel "
                          "numerics vs everything else)")
+    po.add_argument("--engine", default=None,
+                    choices=["production", "bf16_xla", "fp32_xla"],
+                    help="one-variable-at-a-time engine for the bisect: "
+                         "production = bf16+Pallas+packed locals; bf16_xla "
+                         "= bf16, XLA-only, unpacked (isolates kernels); "
+                         "fp32_xla = fp32, XLA-only, unpacked")
+    po.add_argument("--rng-offset", type=int, default=0,
+                    help="shift ONLY the continuation RNG (dropout stream) "
+                         "— two ours runs differing in this measure the "
+                         "protocol's intrinsic noise floor under CRN")
+    po.add_argument("--label", default=None,
+                    help="result-file side label (default 'ours'); use "
+                         "e.g. ours-fp32 / ours-rng1 for ablation legs")
     pt = sub.add_parser("torch")
     add_hp(pt)
     pt.add_argument("--seeds", type=int, nargs="+", required=True)
@@ -1168,6 +1204,12 @@ def main(argv=None):
     pr = sub.add_parser("report")
     pr.add_argument("--tag", default="ns")
     pr.add_argument("--append", default=None)
+    pr.add_argument("--ours-side", default="ours",
+                    help="left side of the pairing (a --label value)")
+    pr.add_argument("--vs-side", default="torch",
+                    help="right side of the pairing (torch, or another "
+                         "--label value for framework-internal noise-floor "
+                         "comparisons)")
 
     args = ap.parse_args(argv)
     if args.cmd == "gen":

@@ -153,7 +153,7 @@ def study_supervised(n_steps, freeze=False):
         t_loss = criterion(logits, torch.from_numpy(y))
         t_loss.backward()
         opt.step()
-        t_losses.append(float(t_loss))
+        t_losses.append(float(t_loss.detach()))
 
         params, opt_state, j_loss = jstep(
             params, opt_state, jnp.asarray(to_nhwc(x)), jnp.asarray(y.astype(np.int32))
@@ -233,7 +233,7 @@ def study_simmim(n_steps):
         t_loss = criterion(preds, targets)
         t_loss.backward()
         opt.step()
-        t_losses.append(float(t_loss))
+        t_losses.append(float(t_loss.detach()))
 
         params, opt_state, j_loss = jstep(
             params, opt_state, jnp.asarray(to_nhwc(x)), jnp.asarray(mask)
@@ -309,7 +309,7 @@ def study_dino(n_steps, knn: bool = True):
         t_loss.backward()
         opt.step()
         ref.momentum_update_teacher(MOM)
-        t_losses.append(float(t_loss))
+        t_losses.append(float(t_loss.detach()))
 
         batch = {
             "views": [jnp.asarray(to_nhwc(v)) for v in views],

@@ -18,8 +18,10 @@ reference's YAML tree works one-line-compatibly:
 - dict/attribute dual access plus ``.get`` (the reference mixes
   ``config["training"]["type"]`` and ``config.training.teacher_temp``).
 
-Multirun (``-m``/``--multirun``) is intentionally NOT implemented — the
-entry points reject it with guidance (run a shell loop over single runs).
+Multirun (``-m``/``--multirun``): ``expand_multirun`` expands cartesian
+choice sweeps over comma-separated override values (top-level commas
+only); ``train.py``/``evaluate.py`` run the jobs sequentially under
+``multirun/<date>/<time>/<idx>`` with a ``multirun.yaml`` manifest.
 
 Pure Python + PyYAML; no torch / no JAX so it is importable everywhere.
 """

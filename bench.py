@@ -632,11 +632,13 @@ def _leg_fns(args, warmup: int, iters: int):
 
 
 def _run_leg_subprocess(name: str, args, required: bool = True,
-                        attempts: int = 3, timeout_s: float = 3600):
+                        attempts: int = 3, deadline: float | None = None):
     """Measure one leg in a fresh python subprocess (`bench.py --leg X`)
     and parse its JSON result line. Retries transient tunnel failures the
-    way _with_retries does for in-process legs. ``timeout_s`` bounds one
-    attempt so a hung tunnel can't eat the whole --budget-seconds."""
+    way _with_retries does for in-process legs. ``deadline`` (a
+    time.monotonic timestamp) hard-bounds the WHOLE leg including
+    retries, so one slow-compiling optional leg can't eat the
+    --budget-seconds twice over."""
     import subprocess
 
     cmd = [sys.executable, __file__, "--leg", name,
@@ -645,11 +647,29 @@ def _run_leg_subprocess(name: str, args, required: bool = True,
         cmd.append("--quick")
     if not args.pack_locals:
         cmd.append("--no-pack-locals")
+    timed_out, grace_used = False, False
     for attempt in range(attempts):
+        timeout_s = 3600.0
+        if deadline is not None:
+            timeout_s = deadline - time.monotonic()
+            if timeout_s < 120:
+                # one bounded grace retry after a timeout: the killed
+                # attempt populated the persistent compile cache, so a
+                # short re-run often finishes (measured: 128s after an
+                # 836s-killed dino_xla compile)
+                if timed_out and not grace_used:
+                    timeout_s, grace_used = 240.0, True
+                    log(f"[leg {name}] deadline passed — one 240s grace "
+                        "retry on the warmed compile cache")
+                else:
+                    log(f"[leg {name}] {timeout_s:.0f}s left before the "
+                        "leg deadline — not retrying")
+                    break
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=timeout_s)
         except subprocess.TimeoutExpired:
+            timed_out = True
             log(f"[leg {name}] subprocess hung >{timeout_s:.0f}s "
                 f"(attempt {attempt + 1}/{attempts})")
             continue
@@ -933,7 +953,25 @@ def main(argv=None):
             return float("inf")
         return args.budget_seconds - (time.monotonic() - t_start)
 
-    leg_walls: list[float] = []
+    # Per-leg wall-clock priors (seconds) from the r4/r5 measured runs:
+    # every subprocess pays a ~150-250s floor (jax init + device→host
+    # channel + cached compile); the *_xla legs compile the unfused
+    # attention backward and run 2-4x longer cold. Observed: dino 251s
+    # warm / 382s cold, dino_xla 483s warm / 964s cold, supervised ~210s,
+    # supervised_xla ~550s, simmim ~200s.
+    # Priors use WARM-cache costs (the persistent /tmp compile cache is
+    # normally warm by the time the driver reruns this file); a cold
+    # *_xla leg can exceed its estimate, but the per-leg deadline cap +
+    # one 240s grace retry bound the damage to ~budget+240s, and the
+    # incremental emission has already secured every earlier leg.
+    LEG_PRIOR = {
+        "supervised": 260, "supervised_xla": 480,
+        "simmim": 260, "simmim_xla": 480,
+        "dino": 420, "dino_xla": 560,
+        "dino_nodropout": 320, "dino_teacher_eval": 320,
+        "inference": 260,
+    }
+    leg_walls: dict[str, float] = {}
 
     def run_leg(name: str, required: bool = True):
         t0 = time.monotonic()
@@ -942,22 +980,27 @@ def main(argv=None):
             rec = _with_retries(leg_fns[name], f"ours/{name}",
                                 attempts=attempts, required=required)
         else:
-            # bound one attempt so a hung tunnel can't eat the budget
+            # optional legs get a hard deadline at the remaining budget
             # (required legs keep the generous cap — better late than
-            # absent; optional legs must fit what's left)
-            cap = 3600 if required else max(240.0, remaining() - 30.0)
+            # absent)
+            deadline = None if required else (
+                time.monotonic() + max(240.0, remaining() - 30.0))
             rec = _run_leg_subprocess(name, args, required=required,
-                                      attempts=attempts, timeout_s=cap)
-        leg_walls.append(time.monotonic() - t0)
+                                      attempts=attempts, deadline=deadline)
+        leg_walls[name] = time.monotonic() - t0
         return rec
 
-    def leg_estimate() -> float:
-        # predict the next leg's wall from the legs already run (compile
-        # through the remote tunnel dominates; the slowest observed leg
-        # plus margin is the honest upper bound — r4 saw 3.3–9.2 min/leg)
+    def leg_estimate(name: str) -> float:
+        # prior scaled by how this host/cache is actually running today
+        # (mean observed/prior ratio over completed legs, clamped so one
+        # outlier can't swing it into skipping cheap legs — the r5 bug
+        # that lost supervised/simmim with 524s still on the clock)
+        prior = LEG_PRIOR.get(name, 420.0)
         if not leg_walls:
-            return 420.0
-        return 1.15 * max(leg_walls)
+            return prior
+        ratios = [w / LEG_PRIOR.get(n, 420.0) for n, w in leg_walls.items()]
+        ratio = min(2.0, max(0.4, sum(ratios) / len(ratios)))
+        return 1.1 * prior * ratio
 
     # torch-CPU baseline up front: the cached read is instant and every
     # incremental emission can then carry vs_baseline (if the cache is
@@ -1019,10 +1062,10 @@ def main(argv=None):
         plan += [("dino_nodropout", False), ("inference", False)]
 
     for name, required in plan:
-        if name != "dino" and remaining() < leg_estimate():
+        if name != "dino" and remaining() < leg_estimate(name):
             skipped.append(name)
             log(f"[bench] skipping leg {name}: {remaining():.0f}s left "
-                f"< estimated {leg_estimate():.0f}s (--budget-seconds "
+                f"< estimated {leg_estimate(name):.0f}s (--budget-seconds "
                 f"{args.budget_seconds:.0f})")
             continue
         rec = run_leg(name, required=required)
@@ -1043,7 +1086,8 @@ def main(argv=None):
     if result is None:
         raise RuntimeError("dino headline leg never completed")
     log(f"[bench] total wall {time.monotonic() - t_start:.0f}s, "
-        f"legs {[f'{w:.0f}s' for w in leg_walls]}, skipped {skipped}")
+        f"legs {[f'{n}:{w:.0f}s' for n, w in leg_walls.items()]}, "
+        f"skipped {skipped}")
     return result
 
 

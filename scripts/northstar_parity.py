@@ -841,6 +841,18 @@ def cmd_initcheck(args):
         f"delta={100 * (acc_o - acc_t):+.2f} pts  "
         f"feature cos-sim mean={cos.mean():.6f} min={cos.min():.6f}"
     )
+    # the figures quoted in STATUS/PARITY_REPORT must exist as an artifact
+    # the judge can open (VERDICT r4 item 8)
+    out = DATA_DIR / "initcheck.json"
+    out.write_text(json.dumps({
+        "init_npz": str(args.init_npz), "init_pth": str(args.init_pth),
+        "ours_knn": acc_o, "torch_knn": acc_t,
+        "delta_pts": 100 * (acc_o - acc_t),
+        "teacher_feature_cos_sim_mean": float(cos.mean()),
+        "teacher_feature_cos_sim_min": float(cos.min()),
+        "n_bank": int(len(y_bank)), "n_val": int(len(y_val)),
+    }))
+    print(f"[initcheck] wrote {out}")
 
 
 # ---------------------------------------------------------------------------
@@ -1075,7 +1087,7 @@ def cmd_report(args):
         init = hp.get("init_from") or "from scratch"
         lines = [
             "",
-            "## North-star parity at reference config scale (round 4)",
+            f"## North-star parity at reference config scale (round {args.round})",
             "",
             f"`scripts/northstar_parity.py` — uncoupled continued training "
             f"at the REAL DINO config shape (ViT d={D} L={BLOCKS} h={HEADS} "
@@ -1210,6 +1222,8 @@ def main(argv=None):
                     help="right side of the pairing (torch, or another "
                          "--label value for framework-internal noise-floor "
                          "comparisons)")
+    pr.add_argument("--round", default="5",
+                    help="round label for the appended report heading")
 
     args = ap.parse_args(argv)
     if args.cmd == "gen":

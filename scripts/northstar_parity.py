@@ -468,6 +468,7 @@ def _write_result(tag, side, seed, acc, hp, secs):
         "peak_lr": hp["peak_lr"], "mom0": hp["mom0"], "secs": round(secs, 1),
         "init_from": hp.get("init_from"), "fp32": hp.get("fp32", False),
         "engine": hp.get("engine"), "rng_offset": hp.get("rng_offset", 0),
+        "dropout0": hp.get("dropout0", False),
     }
     path = _result_path(tag, side, seed)
     path.write_text(json.dumps(out))
@@ -503,7 +504,9 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
     engine = hp.get("engine") or ("fp32_xla" if hp.get("fp32") else "production")
     bf16 = on_tpu and engine != "fp32_xla"
     kernels = on_tpu and engine == "production"
-    model = _make_model(jnp, on_tpu, bf16=bf16, kernels=kernels)
+    dropout = 0.0 if hp.get("dropout0") else DROPOUT
+    model = _make_model(jnp, on_tpu, bf16=bf16, kernels=kernels,
+                        dropout=dropout)
     student = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, IMG, IMG, 3))
     )["params"]
@@ -538,7 +541,7 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
     step, _ = make_dino_steps(
         model, tx, num_global_views=NG, num_all_views=NA,
         student_temp=S_TEMP, center_momentum=C_MOM, donate=False,
-        teacher_dropout=True, pack_locals=kernels,
+        teacher_dropout=not hp.get("dropout0"), pack_locals=kernels,
     )
     w = jnp.ones((hp["batch"],), jnp.float32)
     stream = iter_view_stream(x_pre, seed, hp["steps"], hp["batch"])
@@ -573,7 +576,7 @@ def run_ours(seed: int, hp, data, platform=None) -> float:
     return knn_top1(feats(x_bank), y_bank, feats(x_val), y_val)
 
 
-def _make_model(jnp, on_tpu, bf16=None, kernels=None):
+def _make_model(jnp, on_tpu, bf16=None, kernels=None, dropout=DROPOUT):
     """``on_tpu`` picks the production path (bf16 + Pallas kernels);
     ``bf16``/``kernels`` override it for the one-variable-at-a-time
     ablation engines (VERDICT r4 item 3):
@@ -588,7 +591,7 @@ def _make_model(jnp, on_tpu, bf16=None, kernels=None):
     kernels = on_tpu if kernels is None else kernels
     return DINONetwork(
         num_blocks=BLOCKS, input_shape=(3, IMG, IMG), embed_dim=D,
-        patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=DROPOUT,
+        patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=dropout,
         output_dim=OUT_DIM, dtype=jnp.bfloat16 if bf16 else jnp.float32,
         use_flash=kernels, use_fused_mlp=False,
     )
@@ -871,7 +874,8 @@ def run_torch(seed: int, hp, data) -> float:
     torch.manual_seed(seed)
     model = RefDINO(
         num_blocks=BLOCKS, input_shape=(3, IMG, IMG), embed_dim=D,
-        patch_size=PATCH, num_heads=HEADS, mlp_dim=FF, dropout=DROPOUT,
+        patch_size=PATCH, num_heads=HEADS, mlp_dim=FF,
+        dropout=0.0 if hp.get("dropout0") else DROPOUT,
         output_dim=OUT_DIM, center_momentum=C_MOM,
     )
     if hp.get("init_from"):
@@ -954,6 +958,7 @@ def _hp(args):
         "fp32": getattr(args, "fp32", False),
         "engine": getattr(args, "engine", None),
         "rng_offset": getattr(args, "rng_offset", 0),
+        "dropout0": getattr(args, "dropout0", False),
     }
 
 
@@ -969,7 +974,8 @@ def _maybe_subsample(data, hp):
 def cmd_side(args, side: str):
     data = load_dataset()
     hp = _hp(args)
-    run = run_ours if side == "ours" else run_torch
+    is_ours = side == "ours"
+    run = run_ours if is_ours else run_torch
     side = getattr(args, "label", None) or side
     for seed in args.seeds:
         path = _result_path(args.tag, side, seed)
@@ -977,7 +983,7 @@ def cmd_side(args, side: str):
             print(f"[{side} seed {seed}] exists, skipping")
             continue
         t0 = time.time()
-        kwargs = {"platform": args.platform} if side == "ours" else {}
+        kwargs = {"platform": args.platform} if is_ours else {}
         acc = run(seed, hp, data, **kwargs)
         _write_result(args.tag, side, seed, acc, hp, time.time() - t0)
 
@@ -1208,11 +1214,21 @@ def main(argv=None):
     po.add_argument("--label", default=None,
                     help="result-file side label (default 'ours'); use "
                          "e.g. ours-fp32 / ours-rng1 for ablation legs")
+    po.add_argument("--dropout0", action="store_true",
+                    help="deterministic continuation: dropout 0 on model "
+                         "AND teacher — the only remaining cross-framework "
+                         "difference is numerics (bf16/kernels/optimizer "
+                         "impl), so paired deltas resolve the 0.5-pt bound "
+                         "without the dropout-chaos variance")
     pt = sub.add_parser("torch")
     add_hp(pt)
     pt.add_argument("--seeds", type=int, nargs="+", required=True)
     pt.add_argument("--init-from", default=None,
                     help="warm-start .pth from `pretrain`")
+    pt.add_argument("--label", default=None,
+                    help="result-file side label (default 'torch')")
+    pt.add_argument("--dropout0", action="store_true",
+                    help="deterministic continuation (see ours --dropout0)")
     pr = sub.add_parser("report")
     pr.add_argument("--tag", default="ns")
     pr.add_argument("--append", default=None)

@@ -56,7 +56,11 @@ Subcommands:
              is framework-neutral: teacher-feature KNN computed by each
              side's own inference path must agree.
   ours     — run our side for --seeds, write JSON per seed
-  torch    — run reference side for --seeds (sequential; hours on 1 core)
+             (--engine picks the ablation bisect variant, --rng-offset
+             rerolls only the dropout stream for the CRN noise floor,
+             --dropout0 runs the deterministic continuation channel)
+  torch    — run reference side for --seeds (sequential; hours on 1 core;
+             --dropout0/--label mirror the ours-side flags)
   report   — pool finished seed pairs: paired-delta mean, t-CI, append to
              PARITY_REPORT.md
 

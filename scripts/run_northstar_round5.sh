@@ -54,8 +54,8 @@ torch)
   nohup bash -c "
     $NS torch --seeds 0 1 2 3 4 5 6 7 --steps 48 --batch 32 \
       --init-from $WARM_PTH
-    $NS torch --seeds 0 1 2 3 --steps 48 --batch 32 \
-      --init-from $WARM_PTH --dropout0 --label torch-drop0
+    $NS torch --seeds 0 1 2 3 4 5 6 7 --steps 48 --batch 32 \
+      --peak-lr 1e-4 --init-from $WARM_PTH --dropout0 --label torch-drop0
   " > "$LOGD/torch_marathon.log" 2>&1 &
   echo $! > /tmp/ns_torch.pid
   echo "torch marathon started (pid $(cat /tmp/ns_torch.pid))"
@@ -63,8 +63,12 @@ torch)
 ours)
   $NS ours --seeds 0 1 2 3 4 5 6 7 --steps 48 --batch 32 \
     --init-from "$WARM_NPZ" 2>&1 | tee "$LOGD/ours_prod.log"
-  $NS ours --seeds 0 1 2 3 --steps 48 --batch 32 --init-from "$WARM_NPZ" \
+  $NS ours --seeds 0 1 2 3 4 5 6 7 --steps 48 --batch 32 --peak-lr 1e-4 \
+    --init-from "$WARM_NPZ" \
     --dropout0 --label ours-drop0 2>&1 | tee "$LOGD/ours_drop0.log"
+  $NS ours --seeds 0 1 2 3 4 5 6 7 --steps 48 --batch 32 --peak-lr 1e-4 \
+    --init-from "$WARM_NPZ" --engine fp32_xla \
+    --dropout0 --label ours-drop0fp32 2>&1 | tee "$LOGD/ours_drop0fp32.log"
   $NS ours --seeds 0 1 2 3 --steps 48 --batch 32 --init-from "$WARM_NPZ" \
     --engine fp32_xla --label ours-fp32 2>&1 | tee "$LOGD/ours_fp32.log"
   $NS ours --seeds 0 1 2 3 --steps 48 --batch 32 --init-from "$WARM_NPZ" \
@@ -78,6 +82,8 @@ report)
   $NS report --ours-side ours-fp32 --vs-side torch         # bisect
   $NS report --ours-side ours-bf16xla --vs-side torch
   $NS report --ours-side ours-drop0 --vs-side torch-drop0  # deterministic
+  $NS report --ours-side ours-drop0fp32 --vs-side torch-drop0   # offset is fp32-invariant
+  $NS report --ours-side ours-drop0 --vs-side ours-drop0fp32    # TPU stack outcome-neutral
   ;;
 *)
   echo "usage: $0 {gen|pretrain|initcheck|torch|ours|report}"
